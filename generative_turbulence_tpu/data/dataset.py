@@ -1,0 +1,312 @@
+"""Datasets, geometry-pure batch samplers, and the host->device input pipeline.
+
+Invariant inherited from the reference (``turbdiff/data/ofles.py:483-548``):
+a batch never mixes geometries, because the dense grid and index maps are per
+case.  The train sampler shuffles frames within each case, chunks them into
+batches, then shuffles batch order; the evaluation sampler picks
+``samples_per_file`` evenly spaced (linspace) frames per case.
+
+Instead of torch DataLoader worker processes, the pipeline is a host-thread
+prefetcher (`prefetch`) that overlaps HDF5 reads + host collation with device
+compute, feeding jit-ready `Batch` pytrees.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import queue
+import threading
+from pathlib import Path
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .grid import GridMap
+from .schema import CaseMetadata, CaseRepository, FieldStats, find_data_files
+from .variables import Variable
+
+
+@dataclasses.dataclass
+class CaseData:
+    """A set of frames from ONE case: metadata + times + per-variable cell data.
+
+    fields: {Variable: (B, n_cells, dims) float32 numpy}
+    """
+
+    metadata: CaseMetadata
+    t: np.ndarray
+    fields: Dict[Variable, np.ndarray]
+
+    @property
+    def n_samples(self) -> int:
+        return next(iter(self.fields.values())).shape[0]
+
+    @property
+    def variables(self) -> Tuple[Variable, ...]:
+        return tuple(self.fields.keys())
+
+    def stacked_cells(self, variables: Sequence[Variable]) -> np.ndarray:
+        """(B, n_cells, F) channel-stacked cell values."""
+        return np.concatenate([self.fields[v] for v in variables], axis=-1)
+
+
+@dataclasses.dataclass
+class Batch:
+    """What a task step receives: cell values + the case's grid map + stats."""
+
+    cells: np.ndarray  # (B, n_cells, F) stacked in variable order
+    t: np.ndarray  # (B,) simulation times
+    grid: GridMap
+    metadata: CaseMetadata
+    stats: FieldStats
+    variables: Tuple[Variable, ...]
+
+    @property
+    def batch_size(self) -> int:
+        return self.cells.shape[0]
+
+
+class CaseDataset:
+    """Map-style dataset over the concatenated valid frames of all cases.
+
+    ``discard_first_seconds`` drops the laminar ramp-up.  ``__getitem__`` takes
+    a list of frame indices that must all land in one case.
+    """
+
+    def __init__(
+        self,
+        repo: CaseRepository,
+        stats: FieldStats,
+        discard_first_seconds: float = -1.0,
+    ):
+        self.repo = repo
+        self.stats = stats
+        self.discard_first_seconds = discard_first_seconds
+        self.reset_caches()
+
+    def reset_caches(self):
+        self.repo.reset_caches()
+        self.valid_steps = [
+            np.nonzero(times > self.discard_first_seconds)[0]
+            for times in self.repo.times
+        ]
+
+    def sample_idxs_by_file(self) -> List[List[int]]:
+        out, i = [], 0
+        for steps in self.valid_steps:
+            out.append(list(range(i, i + len(steps))))
+            i += len(steps)
+        return out
+
+    def __len__(self) -> int:
+        return sum(len(v) for v in self.valid_steps)
+
+    def locate(self, index: np.ndarray) -> Tuple[int, np.ndarray]:
+        """Map global frame indices to (file_idx, local indices)."""
+        index = np.asarray(index)
+        file_idx = 0
+        while index.min() >= len(self.valid_steps[file_idx]):
+            index = index - len(self.valid_steps[file_idx])
+            file_idx += 1
+        if index.max() >= len(self.valid_steps[file_idx]):
+            raise ValueError("All samples in a batch must come from the same geometry")
+        return file_idx, index
+
+    def __getitem__(self, index) -> CaseData:
+        if isinstance(index, (int, np.integer)):
+            index = [index]
+        file_idx, local = self.locate(np.asarray(index))
+        frame_idxs = [int(self.valid_steps[file_idx][i]) for i in local]
+        return self.repo.read(file_idx, frame_idxs)
+
+    def get_times(self, file_idx: int, times: Sequence[float]) -> CaseData:
+        """Exact-time lookup (tenth-of-millisecond comparison)."""
+        t = np.round(self.repo.times[file_idx] * 10_000).astype(int).tolist()
+        idxs = [t.index(round(t_ * 10_000)) for t_ in times]
+        return self.repo.read(file_idx, idxs)
+
+
+class GeometryPureBatches:
+    """Train batch sampler: shuffle within each case, never mix cases."""
+
+    def __init__(self, dataset, *, batch_size: int, shuffle: bool, seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.epoch = 0
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return sum(
+            math.ceil(len(steps) / self.batch_size)
+            for steps in self.dataset.valid_steps
+        )
+
+    def __iter__(self) -> Iterator[List[int]]:
+        rng = np.random.default_rng((self.seed, self.epoch))
+        self.epoch += 1
+        indices = self.dataset.sample_idxs_by_file()
+        batches: List[List[int]] = []
+        for idxs in indices:
+            idxs = list(idxs)
+            if self.shuffle:
+                rng.shuffle(idxs)
+            for i in range(0, len(idxs), self.batch_size):
+                batches.append(idxs[i : i + self.batch_size])
+        if self.shuffle:
+            rng.shuffle(batches)
+        yield from batches
+
+
+class EvaluationBatches:
+    """Eval sampler: ``samples_per_file`` evenly spaced frames per case."""
+
+    def __init__(self, dataset, *, batch_size: int, samples_per_file: int):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.samples_per_file = samples_per_file
+
+    def __len__(self) -> int:
+        per_case = math.ceil(self.samples_per_file / self.batch_size)
+        return self.dataset.repo.n_cases * per_case
+
+    def __iter__(self) -> Iterator[List[int]]:
+        for idxs in self.dataset.sample_idxs_by_file():
+            picks = np.round(
+                np.linspace(0, len(idxs) - 1, num=self.samples_per_file)
+            ).astype(int)
+            chosen = [idxs[i] for i in picks]
+            for i in range(0, len(chosen), self.batch_size):
+                yield chosen[i : i + self.batch_size]
+
+
+def collate(data: CaseData, stats: FieldStats, variables: Sequence[Variable]) -> Batch:
+    variables = tuple(variables)
+    return Batch(
+        cells=data.stacked_cells(variables),
+        t=np.asarray(data.t),
+        grid=GridMap.from_metadata(data.metadata, variables),
+        metadata=data.metadata,
+        stats=stats,
+        variables=variables,
+    )
+
+
+def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+    """Run ``iterator`` in a host thread, keeping ``size`` items ready.
+
+    Overlaps HDF5 I/O and host collation with device compute — the TPU-side
+    replacement for torch DataLoader worker processes.
+    """
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    sentinel = object()
+    err: List[BaseException] = []
+
+    def producer():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # surfaced on the consumer side
+            err.append(e)
+        finally:
+            q.put(sentinel)
+
+    thread = threading.Thread(target=producer, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if err:
+                raise err[0]
+            return
+        yield item
+
+
+class DataModule:
+    """Loads stats + per-split datasets from ``root/{train,val,test}/*/data.h5``."""
+
+    def __init__(
+        self,
+        root: Path,
+        discard_first_seconds: float = -1.0,
+        batch_size: int = 1,
+        eval_batch_size: int = 8,
+        val_samples: int = 8,
+        test_samples: int = 32,
+        variables: Sequence[Variable] = (Variable.U, Variable.P),
+        prefetch_size: int = 2,
+        seed: int = 0,
+    ):
+        self.root = Path(root)
+        self.discard_first_seconds = discard_first_seconds
+        self.batch_size = batch_size
+        self.eval_batch_size = eval_batch_size
+        self.val_samples = val_samples
+        self.test_samples = test_samples
+        self.variables = tuple(variables)
+        self.prefetch_size = prefetch_size
+        self.seed = seed
+
+        self.stats: Optional[FieldStats] = None
+        self.train_dataset: Optional[CaseDataset] = None
+        self.val_dataset: Optional[CaseDataset] = None
+        self.test_dataset: Optional[CaseDataset] = None
+
+    def setup(self, stage: str = "fit"):
+        if self.stats is None:
+            self.stats = FieldStats.from_file(self.root / "stats.pickle")
+        if stage == "fit" and self.train_dataset is None:
+            self.train_dataset = self._dataset("train")
+        if stage in ("fit", "validate") and self.val_dataset is None:
+            self.val_dataset = self._dataset("val")
+        if stage == "test" and self.test_dataset is None:
+            self.test_dataset = self._dataset("test")
+
+    def _dataset(self, phase: str) -> CaseDataset:
+        files = find_data_files(self.root / phase)
+        if not files:
+            raise FileNotFoundError(f"No data.h5 files under {self.root / phase}")
+        return CaseDataset(
+            CaseRepository(files, self.variables),
+            stats=self.stats,
+            discard_first_seconds=self.discard_first_seconds,
+        )
+
+    # Batch iterators --------------------------------------------------------
+
+    def train_batches(self) -> Iterator[Batch]:
+        sampler = GeometryPureBatches(
+            self.train_dataset, batch_size=self.batch_size, shuffle=True, seed=self.seed
+        )
+        return self._iterate(self.train_dataset, sampler)
+
+    def n_train_batches(self) -> int:
+        return len(
+            GeometryPureBatches(
+                self.train_dataset, batch_size=self.batch_size, shuffle=True
+            )
+        )
+
+    def val_batches(self) -> Iterator[Batch]:
+        sampler = EvaluationBatches(
+            self.val_dataset,
+            batch_size=self.eval_batch_size,
+            samples_per_file=self.val_samples,
+        )
+        return self._iterate(self.val_dataset, sampler)
+
+    def test_batches(self) -> Iterator[Batch]:
+        sampler = EvaluationBatches(
+            self.test_dataset,
+            batch_size=self.eval_batch_size,
+            samples_per_file=self.test_samples,
+        )
+        return self._iterate(self.test_dataset, sampler)
+
+    def _iterate(self, dataset: CaseDataset, sampler) -> Iterator[Batch]:
+        def gen():
+            for idxs in sampler:
+                yield collate(dataset[idxs], self.stats, self.variables)
+
+        return prefetch(gen(), size=self.prefetch_size)

@@ -1,0 +1,171 @@
+"""Sparse <-> dense grid embedding as jittable XLA scatter/gather.
+
+The simulation stores only in-domain cell values (``(B, n_cells, F)``).  The
+models operate on dense padded voxel grids (``(B, X, Y, Z, F)`` channels-last).
+``GridMap`` packages the static per-case index arrays needed to move between
+the two representations; it is a pytree so it can be a jit argument without
+recompilation across batches of the same geometry (shapes stay static per
+case; across the 45 shapes cases only the *contents* of ``cell_idx`` differ,
+so one compiled program serves all cases).
+
+Equivalent semantics to ``turbdiff/data/ofles.py:220-240`` (grid_embedding),
+``turbdiff/models/utils.py:8-28`` (select/where_cells) and
+``turbdiff/models/cell_type_embeddings.py:47-58`` (cell types), re-designed
+around XLA scatter instead of in-place tensor mutation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .schema import CaseMetadata
+from .variables import Variable, total_dims
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class GridMap:
+    """Static index arrays of one case geometry for a fixed variable tuple.
+
+    Leaves (device arrays):
+      cell_idx        (N,)   int32 flat indices of in-domain cells
+      dirichlet_idx   (M,)   int32 flat indices of fixed-value boundary cells
+      dirichlet_vals  (M, F) float32 boundary values (stacked channels)
+      cell_types      (X, Y, Z) int32 cell-type ids
+      inside_mask     (X, Y, Z) bool
+      h               (3,)  float32 physical cell size
+
+    Static (aux) data: padded grid shape and channel count.
+    """
+
+    cell_idx: jnp.ndarray
+    dirichlet_idx: jnp.ndarray
+    dirichlet_vals: jnp.ndarray
+    cell_types: jnp.ndarray
+    inside_mask: jnp.ndarray
+    h: jnp.ndarray
+    shape: Tuple[int, int, int]
+    n_features: int
+
+    @staticmethod
+    def from_metadata(meta: CaseMetadata, variables: Sequence[Variable]) -> "GridMap":
+        d_idx, d_vals = meta.dirichlet_table(variables)
+        return GridMap(
+            cell_idx=jnp.asarray(meta.cell_idx, dtype=jnp.int32),
+            dirichlet_idx=jnp.asarray(d_idx, dtype=jnp.int32),
+            dirichlet_vals=jnp.asarray(d_vals, dtype=jnp.float32),
+            cell_types=jnp.asarray(meta.cell_types, dtype=jnp.int32),
+            inside_mask=jnp.asarray(meta.inside_mask),
+            h=jnp.asarray(meta.h, dtype=jnp.float32),
+            shape=tuple(int(c) for c in meta.cell_counts),
+            n_features=total_dims(variables),
+        )
+
+    # pytree protocol ------------------------------------------------------
+
+    def tree_flatten(self):
+        leaves = (
+            self.cell_idx,
+            self.dirichlet_idx,
+            self.dirichlet_vals,
+            self.cell_types,
+            self.inside_mask,
+            self.h,
+        )
+        aux = (self.shape, self.n_features)
+        return leaves, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        shape, n_features = aux
+        return cls(*leaves, shape=shape, n_features=n_features)
+
+    @property
+    def n_cells(self) -> int:
+        return int(self.cell_idx.shape[0])
+
+
+def embed_cells(values: jnp.ndarray, grid: GridMap) -> jnp.ndarray:
+    """Scatter per-cell values into a dense padded grid.
+
+    values: (..., n_cells, F)  ->  (..., X, Y, Z, F)
+
+    Out-of-domain cells are zero except fixed-value (Dirichlet) boundary cells,
+    which receive their prescribed values.
+    """
+    X, Y, Z = grid.shape
+    F = values.shape[-1]
+    batch_shape = values.shape[:-2]
+    flat = jnp.zeros((*batch_shape, X * Y * Z, F), dtype=values.dtype)
+    flat = flat.at[..., grid.cell_idx, :].set(values, unique_indices=True)
+    if grid.dirichlet_idx.shape[0] > 0:
+        vals = grid.dirichlet_vals.astype(values.dtype)
+        vals = jnp.broadcast_to(vals, (*batch_shape, *vals.shape))
+        flat = flat.at[..., grid.dirichlet_idx, :].set(vals)
+    return flat.reshape(*batch_shape, X, Y, Z, F)
+
+
+def gather_cells(x: jnp.ndarray, grid: GridMap) -> jnp.ndarray:
+    """Gather in-domain cell values from a dense grid.
+
+    x: (..., X, Y, Z, F)  ->  (..., n_cells, F)
+    """
+    flat = ravel_grid(x)
+    return flat[..., grid.cell_idx, :]
+
+
+def gather_at(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather arbitrary flat indices from a dense (..., X, Y, Z, F) grid."""
+    return ravel_grid(x)[..., idx, :]
+
+
+def ravel_grid(x: jnp.ndarray) -> jnp.ndarray:
+    """Flatten the 3 spatial axes of a channels-last grid: (..., X,Y,Z,F) -> (..., XYZ, F)."""
+    *batch, X, Y, Z, F = x.shape
+    return x.reshape(*batch, X * Y * Z, F)
+
+
+def unravel_grid(x: jnp.ndarray, shape: Tuple[int, int, int]) -> jnp.ndarray:
+    *batch, _, F = x.shape
+    X, Y, Z = shape
+    return x.reshape(*batch, X, Y, Z, F)
+
+
+def scatter_cells_into(
+    target: jnp.ndarray, source: jnp.ndarray, grid: GridMap
+) -> jnp.ndarray:
+    """Replace the in-domain cells of ``target`` with those of ``source``.
+
+    Both are dense grids (..., X, Y, Z, F).  Equivalent to the reference's
+    ``where_cells(cell_idx, source, target)`` but expressed as a masked select,
+    which XLA fuses into surrounding elementwise work instead of a scatter.
+    """
+    mask = grid.inside_mask[..., None]
+    return jnp.where(mask, source, target)
+
+
+def apply_inside(x: jnp.ndarray, grid: GridMap) -> jnp.ndarray:
+    """Zero out everything but the in-domain cells (``where_cells`` with no other)."""
+    return jnp.where(grid.inside_mask[..., None], x, jnp.zeros((), dtype=x.dtype))
+
+
+def masked_mean(
+    x: jnp.ndarray, grid: GridMap, *, batch_ndim: int = 1
+) -> jnp.ndarray:
+    """Mean of ``x`` over in-domain cells and channels, keeping leading batch axes.
+
+    x: (B..., X, Y, Z, F) -> (B...,).  Used for the in-domain-restricted loss
+    (reference ``ddpm.py:845-850``).
+    """
+    mask = grid.inside_mask[..., None].astype(x.dtype)
+    total = jnp.sum(x * mask, axis=tuple(range(batch_ndim, x.ndim)))
+    count = jnp.sum(mask) * x.shape[-1] / mask.shape[-1]
+    # count = n_cells * F
+    n = grid.cell_idx.shape[0] * x.shape[-1]
+    del count
+    return total / n

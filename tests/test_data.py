@@ -1,0 +1,212 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from generative_turbulence_tpu.data import (
+    CaseRepository,
+    DataModule,
+    EvaluationBatches,
+    GeometryPureBatches,
+    GridMap,
+    Variable,
+    embed_cells,
+    gather_cells,
+    find_data_files,
+)
+from generative_turbulence_tpu.data.dataset import CaseDataset, collate
+from generative_turbulence_tpu.data.schema import BCType, FieldStats
+from generative_turbulence_tpu.data.sequence import SequenceDataset
+from generative_turbulence_tpu.utils.index import ravel_multi_index, unravel_index
+
+
+def test_index_roundtrip():
+    shape = (5, 7, 3)
+    coords = np.stack(np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"), -1)
+    coords = coords.reshape(-1, 3)
+    flat = ravel_multi_index(coords, shape)
+    assert np.array_equal(flat, np.arange(np.prod(shape)))
+    back = unravel_index(flat, shape)
+    assert np.array_equal(back, coords)
+
+
+def test_variable_parsing():
+    assert Variable.parse_tuple("u,p") == (Variable.U, Variable.P)
+    assert Variable.U.dims == 3 and Variable.P.dims == 1
+    assert Variable.GRAD.dims == 9
+
+
+def test_schema_roundtrip(synthetic_root):
+    files = find_data_files(synthetic_root / "train")
+    assert len(files) == 2
+    repo = CaseRepository(files, (Variable.U, Variable.P))
+    meta = repo.read_metadata(0)
+
+    assert meta.cell_counts.tolist() == [26, 12, 12]
+    assert meta.n_cells < 24 * 10 * 10  # hole removes cells
+    assert not meta.two_dimensional
+    # In-domain cells never coincide with boundary cells
+    for desc in meta.boundaries.values():
+        assert not np.intersect1d(desc["idx"], meta.cell_idx).size
+
+    # Boundary conditions parsed
+    u_bcs = meta.boundary_conditions[Variable.U]
+    assert u_bcs["inlets"].type is BCType.FIXED_VALUE
+    assert u_bcs["inlets"].value.shape == (3,)
+    assert u_bcs["outlets"].type is BCType.INLET_OUTLET
+
+    data = repo.read(0, [0, 3, 2])
+    assert data.fields[Variable.U].shape == (3, meta.n_cells, 3)
+    assert data.fields[Variable.P].shape == (3, meta.n_cells, 1)
+    # read with duplicate + unsorted indices preserves order
+    d2 = repo.read(0, [3, 0, 3])
+    assert np.allclose(d2.fields[Variable.U][0], data.fields[Variable.U][1])
+    assert np.allclose(d2.fields[Variable.U][2], data.fields[Variable.U][1])
+
+
+def test_grid_embedding_roundtrip(synthetic_root):
+    files = find_data_files(synthetic_root / "train")
+    repo = CaseRepository(files, (Variable.U, Variable.P))
+    meta = repo.read_metadata(0)
+    data = repo.read(0, [0, 1])
+
+    variables = (Variable.U, Variable.P)
+    grid = GridMap.from_metadata(meta, variables)
+    cells = jnp.asarray(data.stacked_cells(variables))
+    dense = embed_cells(cells, grid)
+
+    assert dense.shape == (2, 26, 12, 12, 4)
+    # gather undoes scatter
+    back = gather_cells(dense, grid)
+    assert np.allclose(np.asarray(back), np.asarray(cells))
+
+    # Dirichlet values present at inlet padding cells: u_x == inflow
+    inlet_idx = meta.boundaries["inlets"]["idx"]
+    flat = np.asarray(dense).reshape(2, -1, 4)
+    assert np.allclose(flat[:, inlet_idx, 0], 20.0)
+    assert np.allclose(flat[:, inlet_idx, 1:3], 0.0)
+    # walls: u == 0
+    wall_idx = meta.boundaries["walls"]["idx"]
+    assert np.allclose(flat[:, wall_idx, :3], 0.0)
+    # outlets: p fixed 0, u NOT fixed (inlet-outlet -> stays zero scatter default)
+    out_idx = meta.boundaries["outlets"]["idx"]
+    assert np.allclose(flat[:, out_idx, 3], 0.0)
+
+    # cells not in domain nor dirichlet are zero
+    other = np.setdiff1d(
+        np.arange(flat.shape[1]),
+        np.concatenate([meta.cell_idx, inlet_idx, wall_idx, out_idx]),
+    )
+    assert np.allclose(flat[:, other], 0.0)
+
+
+def test_cell_types(synthetic_root):
+    files = find_data_files(synthetic_root / "train")
+    repo = CaseRepository(files, (Variable.U,))
+    meta = repo.read_metadata(0)
+    types = meta.cell_types
+    assert types.shape == tuple(meta.cell_counts)
+    flat = types.reshape(-1)
+    assert np.all(flat[meta.cell_idx] == 0)  # inside
+    assert np.all(flat[meta.boundaries["inlets"]["idx"]] == 3)
+    assert np.all(flat[meta.boundaries["outlets"]["idx"]] == 4)
+    assert np.all(flat[meta.boundaries["walls"]["idx"]] == 2)
+
+
+def test_normalizers(synthetic_root):
+    stats = FieldStats.from_file(synthetic_root / "stats.pickle")
+    variables = (Variable.U, Variable.P)
+
+    mean, std = stats.normalizers(variables, "u:norm-max;p:abs-max")
+    assert mean.shape == (4,) and std.shape == (4,)
+    assert np.allclose(mean, 0.0)
+    # u channels share norm-max scale
+    assert std[0] == std[1] == std[2]
+    assert std[0] == pytest.approx(float(stats.stats["norm(u)"]["max"]))
+    p = stats.stats["p"]
+    assert std[3] == pytest.approx(float(np.maximum(abs(p["min"]), abs(p["max"]))))
+
+    mean2, std2 = stats.normalizers(variables, "mean-std")
+    assert np.allclose(mean2[:3], stats.stats["u"]["mean"])
+    assert np.allclose(std2[:3], stats.stats["u"]["std"])
+
+
+def test_samplers_never_mix_geometries(synthetic_root):
+    stats = FieldStats.from_file(synthetic_root / "stats.pickle")
+    files = find_data_files(synthetic_root / "train")
+    ds = CaseDataset(CaseRepository(files, (Variable.U,)), stats, 1.5e-4)
+    # discard drops the first frame (times start at 1e-4)
+    assert len(ds) == 2 * 11
+
+    by_file = ds.sample_idxs_by_file()
+    sampler = GeometryPureBatches(ds, batch_size=4, shuffle=True, seed=1)
+    seen = []
+    for batch in sampler:
+        assert len(batch) <= 4
+        file_ids = {0 if idx in by_file[0] else 1 for idx in batch}
+        assert len(file_ids) == 1
+        seen.extend(batch)
+    assert sorted(seen) == list(range(len(ds)))
+
+    eval_sampler = EvaluationBatches(ds, batch_size=3, samples_per_file=5)
+    batches = list(eval_sampler)
+    assert len(batches) == len(eval_sampler)
+    # 5 samples per case, batch 3 -> 2 batches per case
+    assert [len(b) for b in batches] == [3, 2, 3, 2]
+
+
+def test_datamodule_end_to_end(synthetic_root):
+    dm = DataModule(
+        synthetic_root,
+        discard_first_seconds=-1.0,
+        batch_size=3,
+        eval_batch_size=2,
+        val_samples=4,
+        variables=(Variable.U, Variable.P),
+    )
+    dm.setup("fit")
+    batch = next(iter(dm.train_batches()))
+    assert batch.cells.shape[0] <= 3
+    assert batch.cells.shape[-1] == 4
+    assert batch.grid.shape == (26, 12, 12)
+
+    n_val = 0
+    for b in dm.val_batches():
+        assert b.batch_size <= 2
+        n_val += b.batch_size
+    assert n_val == 4  # 1 val case x 4 samples
+
+
+def test_sequence_dataset(synthetic_root):
+    stats = FieldStats.from_file(synthetic_root / "stats.pickle")
+    files = find_data_files(synthetic_root / "train")
+    ds = SequenceDataset(
+        CaseRepository(files, (Variable.U,)),
+        stats,
+        sequence_length=3,
+        stride=2,
+        discard_first_seconds=-1.0,
+    )
+    # 12 frames, span = 3*2-1 = 5 -> 7 valid starts per case
+    assert len(ds) == 2 * 7
+    item = ds[[0, 1]]
+    assert item.fields[Variable.U].shape[0:2] == (2, 3)
+    # stride-2 windows: frames 0,2,4 and 1,3,5
+    direct = ds.repo.read(0, [0, 2, 4])
+    assert np.allclose(item.fields[Variable.U][0], direct.fields[Variable.U])
+
+
+def test_collate_jit_compatible(synthetic_root):
+    import jax
+
+    stats = FieldStats.from_file(synthetic_root / "stats.pickle")
+    files = find_data_files(synthetic_root / "train")
+    ds = CaseDataset(CaseRepository(files, (Variable.U, Variable.P)), stats, -1.0)
+    batch = collate(ds[[0, 1]], stats, (Variable.U, Variable.P))
+
+    @jax.jit
+    def dense_mean(cells, grid):
+        return embed_cells(cells, grid).mean()
+
+    val = dense_mean(jnp.asarray(batch.cells), batch.grid)
+    assert np.isfinite(float(val))
