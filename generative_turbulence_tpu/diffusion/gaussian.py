@@ -1,0 +1,406 @@
+"""Gaussian diffusion core: forward process, losses, DDPM and DDIM samplers.
+
+Functional re-design of ``turbdiff/models/ddpm.py:620-882``.  The process
+constants live in a ``DiffusionConstants`` pytree (float32, computed in f64);
+the sampler is a single ``lax.scan`` over timesteps so 500 U-Net evaluations
+compile to one XLA loop, and a DDIM sampler (subsequence stepping, an addition
+over the reference) provides the fast path.
+
+Boundary-condition handling (the paper's key mechanism):
+- ``noise_bcs=False``: noise only in-domain cells and pin BC cells to their
+  clean values at every step.
+- ``noise_bcs=True`` (the shapes default): BC cells are noised too and
+  re-sampled from q(x_t | x_bcs) after every ancestral step.
+Either way the final sample gets the exact BC values re-imposed.
+
+The epsilon-network enters as a closure ``eps_fn(x_t, t) -> model_output`` so
+the same math serves training, sampling, and any network architecture.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.grid import GridMap
+from .schedules import beta_schedule
+
+
+def _bcast(coefs: jnp.ndarray, t: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-timestep coefficients and broadcast right against ``like``."""
+    vals = coefs[t]
+    return vals.reshape(vals.shape + (1,) * (like.ndim - vals.ndim))
+
+
+class ModelPrediction(NamedTuple):
+    noise: jnp.ndarray
+    x_start: jnp.ndarray
+    mean: jnp.ndarray
+    log_var: jnp.ndarray
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class DiffusionConstants:
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    sqrt_alphas_cumprod: jnp.ndarray
+    sqrt_one_minus_alphas_cumprod: jnp.ndarray
+    sqrt_recip_alphas_cumprod: jnp.ndarray
+    sqrt_recipm1_alphas_cumprod: jnp.ndarray
+    log_betas: jnp.ndarray
+    posterior_log_var: jnp.ndarray
+    posterior_mean_coef1: jnp.ndarray
+    posterior_mean_coef2: jnp.ndarray
+
+    def tree_flatten(self):
+        return dataclasses.astuple(self), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(*leaves)
+
+    @property
+    def num_timesteps(self) -> int:
+        return int(self.betas.shape[0])
+
+    @staticmethod
+    def create(schedule: str, timesteps: int) -> "DiffusionConstants":
+        betas = beta_schedule(schedule, timesteps)  # float64
+        alphas = 1.0 - betas
+        acp = np.cumprod(alphas)
+        acp_prev = np.concatenate([[1.0], acp[:-1]])
+
+        log_betas = np.log(betas)
+        # Numerically stable log posterior variance via log1p; the t=0 entry
+        # (log1p(-1) = -inf) is extrapolated so it is finite
+        # (reference ``ddpm.py:684-700``).
+        with np.errstate(divide="ignore"):
+            post_log_var = log_betas + np.log1p(-acp_prev) - np.log1p(-acp)
+        post_log_var[0] = log_betas[0] * (post_log_var[1] / log_betas[1])
+
+        f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)  # noqa: E731
+        return DiffusionConstants(
+            betas=f32(betas),
+            alphas_cumprod=f32(acp),
+            sqrt_alphas_cumprod=f32(np.sqrt(acp)),
+            sqrt_one_minus_alphas_cumprod=f32(np.sqrt(1.0 - acp)),
+            sqrt_recip_alphas_cumprod=f32(1.0 / np.sqrt(acp)),
+            sqrt_recipm1_alphas_cumprod=f32(np.sqrt(1.0 / acp - 1.0)),
+            log_betas=f32(log_betas),
+            posterior_log_var=f32(post_log_var),
+            posterior_mean_coef1=f32(betas * np.sqrt(acp_prev) / (1.0 - acp)),
+            posterior_mean_coef2=f32((1.0 - acp_prev) * np.sqrt(alphas) / (1.0 - acp)),
+        )
+
+
+def normal_kl(mean1, logvar1, mean2, logvar2):
+    return 0.5 * (
+        -1.0
+        + logvar2
+        - logvar1
+        + jnp.exp(logvar1 - logvar2)
+        + (mean1 - mean2) ** 2 * jnp.exp(-logvar2)
+    )
+
+
+def normal_log_likelihood(x, mean, log_var):
+    log_2pi = float(np.log(2 * np.pi))
+    return -0.5 * (log_var + log_2pi + (x - mean) ** 2 * jnp.exp(-log_var))
+
+
+@dataclasses.dataclass(frozen=True)
+class GaussianDiffusion:
+    """Diffusion process configuration + math.  Stateless; pairs constants with
+    the behavioral flags of the reference's ``GaussianDiffusion``."""
+
+    constants: DiffusionConstants
+    loss_type: str = "l2"
+    clip_denoised: bool = False
+    noise_bcs: bool = True
+    learned_variances: bool = False
+    elbo_weight: Optional[float] = None
+    detach_elbo_mean: bool = True
+
+    @staticmethod
+    def create(
+        *,
+        beta_schedule: str = "log-snr-linear",
+        timesteps: int = 500,
+        loss_type: str = "l2",
+        clip_denoised: bool = False,
+        noise_bcs: bool = True,
+        learned_variances: bool = False,
+        elbo_weight: Optional[float] = None,
+        detach_elbo_mean: bool = True,
+    ) -> "GaussianDiffusion":
+        return GaussianDiffusion(
+            constants=DiffusionConstants.create(beta_schedule, timesteps),
+            loss_type=loss_type,
+            clip_denoised=clip_denoised,
+            noise_bcs=noise_bcs,
+            learned_variances=learned_variances,
+            elbo_weight=elbo_weight,
+            detach_elbo_mean=detach_elbo_mean,
+        )
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.constants.num_timesteps
+
+    # ---- forward process ---------------------------------------------------
+
+    def q_sample(self, x_start: jnp.ndarray, t: jnp.ndarray, noise: jnp.ndarray):
+        c = self.constants
+        return (
+            _bcast(c.sqrt_alphas_cumprod, t, x_start) * x_start
+            + _bcast(c.sqrt_one_minus_alphas_cumprod, t, x_start) * noise
+        )
+
+    # ---- reconstructions ---------------------------------------------------
+
+    def predict_start_from_noise(self, x_t, t, noise):
+        c = self.constants
+        return (
+            _bcast(c.sqrt_recip_alphas_cumprod, t, x_t) * x_t
+            - _bcast(c.sqrt_recipm1_alphas_cumprod, t, x_t) * noise
+        )
+
+    def predict_noise_from_start(self, x_t, t, x0):
+        c = self.constants
+        return (
+            _bcast(c.sqrt_recip_alphas_cumprod, t, x_t) * x_t - x0
+        ) / _bcast(c.sqrt_recipm1_alphas_cumprod, t, x_t)
+
+    def q_posterior(self, x_start, x_t, t):
+        c = self.constants
+        mean = (
+            _bcast(c.posterior_mean_coef1, t, x_t) * x_start
+            + _bcast(c.posterior_mean_coef2, t, x_t) * x_t
+        )
+        log_var = _bcast(c.posterior_log_var, t, x_t)
+        return mean, log_var
+
+    def model_predictions(
+        self,
+        eps_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+        x_t: jnp.ndarray,
+        t: jnp.ndarray,
+        grid: GridMap,
+    ) -> ModelPrediction:
+        c = self.constants
+        out = eps_fn(x_t, t)
+        if self.learned_variances:
+            pred_noise, var_weights = jnp.split(out, 2, axis=-1)
+            log_betas = _bcast(c.log_betas, t, var_weights)
+            post_log_var = _bcast(c.posterior_log_var, t, var_weights)
+            # sigmoid-lerp between beta and posterior log-variance
+            # (improved-DDPM style, ``ddpm.py:730-743``)
+            w = jax.nn.sigmoid(var_weights)
+            log_var = log_betas + w * (post_log_var - log_betas)
+        else:
+            pred_noise = out
+            log_var = _bcast(c.log_betas, t, x_t)
+
+        x_start = self.predict_start_from_noise(x_t, t, pred_noise)
+        if not self.noise_bcs:
+            # Pin the prediction to the (clean) BC values carried by x_t.
+            x_start = jnp.where(grid.inside_mask[..., None], x_start, x_t)
+        if self.clip_denoised:
+            x_start = jnp.clip(x_start, -1.0, 1.0)
+
+        mean, _ = self.q_posterior(x_start, x_t, t)
+        return ModelPrediction(pred_noise, x_start, mean, log_var)
+
+    # ---- training loss -----------------------------------------------------
+
+    def p_losses(
+        self,
+        eps_fn,
+        x_start: jnp.ndarray,
+        t: jnp.ndarray,
+        grid: GridMap,
+        rng: jax.Array,
+    ):
+        inside = grid.inside_mask[..., None]
+        noise = jax.random.normal(rng, x_start.shape, dtype=x_start.dtype)
+        x_t = self.q_sample(x_start, t, noise)
+        if not self.noise_bcs:
+            x_t = jnp.where(inside, x_t, x_start)
+
+        pred = self.model_predictions(eps_fn, x_t, t, grid)
+
+        if self.loss_type == "l2":
+            err = (pred.noise - noise) ** 2
+        elif self.loss_type == "l1":
+            err = jnp.abs(pred.noise - noise)
+        else:
+            raise ValueError(f"Invalid loss type {self.loss_type!r}")
+
+        # Mean over in-domain cells only (``ddpm.py:845-850``).
+        n_in = grid.cell_idx.shape[0] * x_start.shape[-1]
+        per_sample = jnp.sum(err * inside, axis=(1, 2, 3, 4)) / n_in
+        loss = per_sample.mean()
+
+        if self.elbo_weight is not None and self.learned_variances:
+            true_mean, true_log_var = self.q_posterior(x_start, x_t, t)
+            model_mean = pred.mean
+            if self.detach_elbo_mean:
+                model_mean = jax.lax.stop_gradient(model_mean)
+            kl = normal_kl(true_mean, true_log_var, model_mean, pred.log_var)
+            log_lk = normal_log_likelihood(x_t, model_mean, pred.log_var)
+            kl_b = jnp.sum(kl * inside, axis=(1, 2, 3, 4)) / n_in
+            ll_b = jnp.sum(log_lk * inside, axis=(1, 2, 3, 4)) / n_in
+            elbo = jnp.where(t == 0, -ll_b, kl_b)
+            loss = loss + self.elbo_weight * elbo.mean()
+
+        return loss
+
+    def loss(self, eps_fn, x_start: jnp.ndarray, grid: GridMap, rng: jax.Array):
+        """Draw t ~ U[0, T) per batch element and compute the training loss."""
+        rng_t, rng_noise = jax.random.split(rng)
+        t = jax.random.randint(
+            rng_t, (x_start.shape[0],), 0, self.num_timesteps, dtype=jnp.int32
+        )
+        return self.p_losses(eps_fn, x_start, t, grid, rng_noise)
+
+    # ---- ancestral (DDPM) sampling ------------------------------------------
+
+    def p_sample_loop(
+        self,
+        eps_fn,
+        x_bcs: jnp.ndarray,
+        grid: GridMap,
+        rng: jax.Array,
+        start_from: Optional[int] = None,
+    ) -> jnp.ndarray:
+        """Full ancestral sampling as one ``lax.scan`` over timesteps.
+
+        x_bcs carries the boundary values (a grid embedding of any frame — only
+        its non-domain cells matter).  ``start_from`` begins from a partially
+        noised x_bcs at that timestep instead of pure noise.
+        """
+        inside = grid.inside_mask[..., None]
+        B = x_bcs.shape[0]
+        T = self.num_timesteps if start_from is None else int(start_from)
+
+        rng_init, rng_scan = jax.random.split(rng)
+        if start_from is None:
+            x_t = jax.random.normal(rng_init, x_bcs.shape, dtype=x_bcs.dtype)
+        else:
+            rng_i1, rng_i2 = jax.random.split(rng_init)
+            t0 = jnp.full((B,), T - 1, dtype=jnp.int32)
+            x_t = self.q_sample(
+                x_bcs, t0, jax.random.normal(rng_i1, x_bcs.shape, dtype=x_bcs.dtype)
+            )
+        if not self.noise_bcs:
+            x_t = jnp.where(inside, x_t, x_bcs)
+
+        def step(x_t, scan_in):
+            t_scalar, rng_t = scan_in
+            t = jnp.full((B,), t_scalar, dtype=jnp.int32)
+            pred = self.model_predictions(eps_fn, x_t, t, grid)
+
+            rng_noise, rng_bc = jax.random.split(rng_t)
+            noise = jax.random.normal(rng_noise, x_t.shape, dtype=x_t.dtype)
+            if not self.noise_bcs:
+                noise = jnp.where(inside, noise, 0.0)
+            std = jnp.exp(pred.log_var / 2)
+            x_next = pred.mean + std * noise
+
+            if self.noise_bcs:
+                # Re-sample boundary cells from q(x_t | x_bcs) at this level.
+                bc_noise = jax.random.normal(rng_bc, x_t.shape, dtype=x_t.dtype)
+                x_bc_t = self.q_sample(x_bcs, t, bc_noise)
+                x_next = jnp.where(inside, x_next, x_bc_t)
+
+            # At t == 0 return the predicted mean instead of a sample.
+            x_next = jnp.where(t_scalar == 0, pred.mean, x_next)
+            return x_next, None
+
+        ts = jnp.arange(T - 1, -1, -1)
+        rngs = jax.random.split(rng_scan, T)
+        x_t, _ = jax.lax.scan(step, x_t, (ts, rngs))
+
+        # Impose the exact BC values regardless of the noising mode.
+        return jnp.where(inside, x_t, x_bcs)
+
+    # ---- DDIM sampling (fast path; addition over the reference) -------------
+
+    def ddim_sample_loop(
+        self,
+        eps_fn,
+        x_bcs: jnp.ndarray,
+        grid: GridMap,
+        rng: jax.Array,
+        *,
+        num_steps: int = 50,
+        eta: float = 0.0,
+    ) -> jnp.ndarray:
+        """DDIM sampling over an evenly spaced timestep subsequence.
+
+        eta = 0 gives deterministic DDIM; eta = 1 recovers ancestral variance
+        on the subsequence.
+        """
+        c = self.constants
+        inside = grid.inside_mask[..., None]
+        B = x_bcs.shape[0]
+        T = self.num_timesteps
+
+        taus = np.linspace(0, T - 1, num_steps).round().astype(np.int32)
+        taus_prev = np.concatenate([[-1], taus[:-1]]).astype(np.int32)
+        acp = jnp.concatenate([jnp.ones((1,), c.alphas_cumprod.dtype), c.alphas_cumprod])
+        # acp[i+1] = alpha_bar_i; acp[0] = 1 for the virtual step t=-1
+
+        rng_init, rng_scan = jax.random.split(rng)
+        x_t = jax.random.normal(rng_init, x_bcs.shape, dtype=x_bcs.dtype)
+        if not self.noise_bcs:
+            x_t = jnp.where(inside, x_t, x_bcs)
+
+        def step(x_t, scan_in):
+            tau, tau_prev, rng_t = scan_in
+            t = jnp.full((B,), tau, dtype=jnp.int32)
+            pred = self.model_predictions(eps_fn, x_t, t, grid)
+            x0 = pred.x_start
+            # Re-derive the noise consistent with the (possibly clipped/pinned)
+            # x0 so the update stays on the DDIM trajectory.
+            eps = self.predict_noise_from_start(x_t, t, x0)
+
+            a_t = acp[tau + 1]
+            a_prev = acp[tau_prev + 1]
+            sigma = (
+                eta
+                * jnp.sqrt((1 - a_prev) / (1 - a_t))
+                * jnp.sqrt(1 - a_t / a_prev)
+            )
+            dir_xt = jnp.sqrt(jnp.maximum(1 - a_prev - sigma**2, 0.0)) * eps
+
+            rng_noise, rng_bc = jax.random.split(rng_t)
+            noise = jax.random.normal(rng_noise, x_t.shape, dtype=x_t.dtype)
+            if not self.noise_bcs:
+                noise = jnp.where(inside, noise, 0.0)
+            x_next = jnp.sqrt(a_prev) * x0 + dir_xt + sigma * noise
+            # Final step (tau_prev == -1) keeps the clean estimate.
+            x_next = jnp.where(tau_prev < 0, jnp.sqrt(a_prev) * x0, x_next)
+
+            if self.noise_bcs:
+                bc_noise = jax.random.normal(rng_bc, x_t.shape, dtype=x_t.dtype)
+                t_prev = jnp.maximum(tau_prev, 0)
+                x_bc = self.q_sample(
+                    x_bcs, jnp.full((B,), t_prev, dtype=jnp.int32), bc_noise
+                )
+                x_bc = jnp.where(tau_prev < 0, x_bcs, x_bc)
+                x_next = jnp.where(inside, x_next, x_bc)
+            elif not self.noise_bcs:
+                x_next = jnp.where(inside, x_next, x_bcs)
+            return x_next, None
+
+        rngs = jax.random.split(rng_scan, num_steps)
+        x_t, _ = jax.lax.scan(
+            step, x_t, (jnp.asarray(taus[::-1].copy()), jnp.asarray(taus_prev[::-1].copy()), rngs)
+        )
+        return jnp.where(inside, x_t, x_bcs)

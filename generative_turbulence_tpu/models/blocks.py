@@ -1,0 +1,221 @@
+"""Building blocks of the denoising U-Net (flax.linen, channels-last).
+
+Design notes (TPU-first):
+- 3D convs run in NDHWC layout, XLA's native TPU conv layout.
+- Replicate ("edge") padding + VALID conv reproduces the reference's
+  ``padding_mode="replicate"`` (``turbdiff/models/ddpm.py:154-177``).
+- Down/upsampling uses the MXU-friendly align-corners trilinear resize from
+  ``ops.interp`` with the floor-at-3 rule (``ddpm.py:351-372``).
+- GroupNorm + FiLM + activation are kept in one helper so the fused Pallas
+  kernel can replace them on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.attention import efficient_linear_attention, multihead_attention
+from ..ops.interp import downsample_size, resize_trilinear
+
+ActFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def replicate_pad3d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Edge-pad the three spatial axes of (..., X, Y, Z, C)."""
+    cfg = [(0, 0)] * (x.ndim - 4) + [(pad, pad)] * 3 + [(0, 0)]
+    return jnp.pad(x, cfg, mode="edge")
+
+
+class Conv3d(nn.Module):
+    """3x3x3 (or kxkxk) conv with replicate padding; 1x1x1 convs skip padding."""
+
+    features: int
+    kernel_size: int = 3
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = self.kernel_size
+        pad = (k - 1) // 2 * self.dilation
+        if pad > 0:
+            x = replicate_pad3d(x, pad)
+        return nn.Conv(
+            self.features,
+            kernel_size=(k, k, k),
+            padding="VALID",
+            kernel_dilation=(self.dilation,) * 3,
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+        )(x)
+
+
+def make_norm(norm_type: str, dtype=None) -> Callable[[], nn.Module]:
+    """Norm factory mirroring the reference mapping (``ddpm.py:424-431``):
+    instance -> GroupNorm(C groups), layer -> GroupNorm(1), group -> GroupNorm(8)."""
+    if norm_type == "instance":
+        return lambda: nn.GroupNorm(num_groups=None, group_size=1, dtype=dtype)
+    if norm_type == "layer":
+        return lambda: nn.GroupNorm(num_groups=1, dtype=dtype)
+    if norm_type == "group":
+        return lambda: nn.GroupNorm(num_groups=8, dtype=dtype)
+    raise ValueError(f"Unknown norm type {norm_type!r}")
+
+
+class ConvBlock(nn.Module):
+    """conv3x3 -> norm -> optional FiLM ((scale+1) * x + shift) -> act."""
+
+    features: int
+    actfn: ActFn
+    norm_type: str = "group"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        x = Conv3d(self.features, 3, dtype=self.dtype)(x)
+        x = make_norm(self.norm_type, dtype=self.dtype)()(x)
+        if scale_shift is not None:
+            scale, shift = scale_shift
+            # FiLM vectors are (B, C); broadcast over the spatial axes.
+            scale = scale[:, None, None, None, :]
+            shift = shift[:, None, None, None, :]
+            x = (scale + 1.0) * x + shift
+        return self.actfn(x)
+
+
+class ResnetBlock(nn.Module):
+    """Two conv blocks with FiLM conditioning on the first + 1x1 skip
+    (``ddpm.py:180-197``)."""
+
+    features: int
+    actfn: ActFn
+    norm_type: str = "group"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        scale_shift = None
+        if c is not None:
+            proj = nn.Dense(2 * self.features, dtype=self.dtype)(c)
+            scale_shift = jnp.split(proj, 2, axis=-1)
+
+        h = ConvBlock(self.features, self.actfn, self.norm_type, self.dtype)(
+            x, scale_shift
+        )
+        h = ConvBlock(self.features, self.actfn, self.norm_type, self.dtype)(h)
+
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
+        return h + x
+
+
+class VoxelAttention(nn.Module):
+    """Full self-attention over all voxels (used at the U-Net bottleneck,
+    ``ddpm.py:286-308``).  kind: "full" | "linear" | "local"."""
+
+    heads: int = 4
+    dim_head: int = 32
+    kind: str = "full"
+    window_size: int = 4
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        B, X, Y, Z, C = x.shape
+        hidden = self.heads * self.dim_head
+        qkv = nn.Conv(
+            3 * hidden, kernel_size=(1, 1, 1), use_bias=False, dtype=self.dtype
+        )(x)
+
+        if self.kind == "local":
+            out = self._local(qkv, (X, Y, Z))
+        else:
+            tokens = qkv.reshape(B, X * Y * Z, 3, self.heads, self.dim_head)
+            q, k, v = (
+                tokens[:, :, 0].transpose(0, 2, 1, 3),
+                tokens[:, :, 1].transpose(0, 2, 1, 3),
+                tokens[:, :, 2].transpose(0, 2, 1, 3),
+            )
+            if self.kind == "full":
+                out = multihead_attention(q, k, v)
+            elif self.kind == "linear":
+                out = efficient_linear_attention(q, k, v)
+            else:
+                raise ValueError(f"Unknown attention kind {self.kind!r}")
+            out = out.transpose(0, 2, 1, 3).reshape(B, X, Y, Z, hidden)
+
+        return nn.Conv(C, kernel_size=(1, 1, 1), dtype=self.dtype)(out)
+
+    def _local(self, qkv: jnp.ndarray, spatial: Tuple[int, int, int]) -> jnp.ndarray:
+        """Windowed attention with constant padding to a window multiple
+        (``ddpm.py:232-283``)."""
+        B = qkv.shape[0]
+        w = self.window_size
+        X, Y, Z = spatial
+        pads = [(-s) % w for s in spatial]
+        if any(pads):
+            cfg = [(0, 0)] + [(0, p) for p in pads] + [(0, 0)]
+            qkv = jnp.pad(qkv, cfg)  # constant 0: softens padded-cell softmax weight
+        Xp, Yp, Zp = (s + p for s, p in zip(spatial, pads))
+        nx, ny, nz = Xp // w, Yp // w, Zp // w
+
+        t = qkv.reshape(B, nx, w, ny, w, nz, w, 3, self.heads, self.dim_head)
+        # -> (B*nwin, heads, w^3, dim_head) per q/k/v
+        t = t.transpose(0, 1, 3, 5, 7, 8, 2, 4, 6, 9)
+        t = t.reshape(B * nx * ny * nz, 3, self.heads, w**3, self.dim_head)
+        out = multihead_attention(t[:, 0], t[:, 1], t[:, 2])
+        out = out.reshape(B, nx, ny, nz, self.heads, w, w, w, self.dim_head)
+        out = out.transpose(0, 1, 5, 2, 6, 3, 7, 4, 8)
+        out = out.reshape(B, Xp, Yp, Zp, self.heads * self.dim_head)
+        return out[:, :X, :Y, :Z]
+
+
+class UNet(nn.Module):
+    """Interpolation U-Net over arbitrary (non-power-of-two) grids.
+
+    Downsampling halves each axis with a floor of 3; upsampling resizes to the
+    exact skip shape, so any input resolution round-trips (``ddpm.py:326-372``).
+    The center block is resnet -> prenorm-residual attention -> resnet.
+    """
+
+    dim: int
+    levels: int
+    actfn: ActFn
+    norm_type: str = "group"
+    attention_kind: str = "full"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, c: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        block = lambda feats, name: ResnetBlock(  # noqa: E731
+            feats, self.actfn, self.norm_type, self.dtype, name=name
+        )
+
+        skips = []
+        for i in range(self.levels):
+            x = block(self.dim * 2 ** (i + 1), f"down_{i}")(x, c)
+            skips.append(x)
+            x = resize_trilinear(x, downsample_size(x.shape[-4:-1]))
+
+        center_dim = self.dim * 2**self.levels
+        x = block(center_dim, "center_in")(x, c)
+        h = make_norm(self.norm_type, dtype=self.dtype)()(x)
+        x = x + VoxelAttention(kind=self.attention_kind, dtype=self.dtype, name="center_attention")(h)
+        x = block(center_dim, "center_out")(x, c)
+
+        for i in reversed(range(self.levels)):
+            skip = skips.pop()
+            x = resize_trilinear(x, skip.shape[-4:-1])
+            x = block(self.dim * 2**i, f"up_{i}")(
+                jnp.concatenate([x, skip], axis=-1), c
+            )
+
+        return x
