@@ -1,0 +1,295 @@
+"""Turbulence sample-quality metrics.
+
+Reproduces the evaluation protocol of ``turbdiff/models/metrics.py:122-581``:
+
+- ``WassersteinTKE`` (cheap; the monitored ``val/tke``): pairwise
+  log-TKE-spectrum L2 distances over three cube regions at the channel end
+  (front/middle/back at 3/2/1 channel-width offsets), mean flow from
+  ``mean-flow.h5`` (fallback: sample mean), then the 2-Wasserstein distance
+  between the sample- and data-distributions via exact EMD; plus a combined
+  3-region distance.  Skips 2D cases.
+- ``WassersteinMetric`` (expensive): per-cell feature vectors (u, vorticity,
+  p; stats-normalized), per homogeneous region (``regions.npz``) pairwise
+  point-cloud W2 between every sample and every data frame, region-weighted,
+  then an outer W2.  EMDs solve on a host process pool (they are exact network
+  simplex / assignment problems, not TPU work).
+- ``MaxMeanTKEPositionMetric`` (cheap): squared error of the argmax-x position
+  of the mean-TKE profile behind the obstacle vs ``max-mean-tke.npy``.
+
+``SampleMetricsCollection`` runs each metric per case against ground-truth
+frames drawn evenly from the SECOND half of the simulation and averages
+across cases.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from collections import defaultdict
+from concurrent.futures import ProcessPoolExecutor
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import CaseData
+from ..data.grid import GridMap, embed_cells
+from ..data.schema import CaseRepository, FieldStats
+from ..data.variables import Variable
+from ..ops.spectra import SpectrumOps, log_tke_distance_matrix
+from ..ops.stencils import curl
+from .emd import emd2_uniform, wasserstein2
+from .sample_store import SampleStore
+
+
+def _embed_u(data: CaseData) -> jnp.ndarray:
+    """(B, X, Y, Z, 3) grid embedding of the velocity field of a CaseData."""
+    grid = GridMap.from_metadata(data.metadata, (Variable.U,))
+    return embed_cells(jnp.asarray(data.fields[Variable.U]), grid)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_distance(ops_id: int):
+    # ops objects are process-wide singletons; cache the jitted fn per object
+    ops = _OPS_REGISTRY[ops_id]
+
+    @jax.jit
+    def fn(u_a, u_b, u_mean):
+        return log_tke_distance_matrix(u_a, u_b, u_mean, ops)
+
+    return fn
+
+
+_OPS_REGISTRY: Dict[int, SpectrumOps] = {}
+
+
+def _register_ops(ops: SpectrumOps) -> int:
+    key = id(ops)
+    _OPS_REGISTRY[key] = ops
+    return key
+
+
+class WassersteinTKE:
+    def __init__(self, n_sphere: int = 5832, n_legendre: int = 64):
+        self.ops = SpectrumOps.create(n_sphere=n_sphere, n_legendre=n_legendre)
+        self._ops_id = _register_ops(self.ops)
+        # region -> case -> (log_tke_sample, log_tke_data, k), kept for plots
+        self.case_data: Dict[str, Dict[str, tuple]] = defaultdict(dict)
+
+    def is_expensive(self) -> bool:
+        return False
+
+    def __call__(
+        self, samples: CaseData, data: CaseData, stats: FieldStats
+    ) -> Dict[str, float]:
+        if samples.metadata.two_dimensional:
+            return {}
+
+        u_sample = _embed_u(samples)
+        u_data = _embed_u(data)
+
+        mean_flow_file = data.metadata.file.parent / "mean-flow.h5"
+        if mean_flow_file.is_file():
+            with h5py.File(mean_flow_file, "r") as f:
+                u_mean_cells = np.asarray(f["data/u"], dtype=np.float32)
+            mean_data = CaseData(
+                metadata=data.metadata,
+                t=np.zeros(1),
+                fields={Variable.U: u_mean_cells[None]},
+            )
+            u_mean = _embed_u(mean_data)[0]
+        else:
+            u_mean = u_data.mean(axis=0)
+
+        # Cut off synthetic boundary cells.
+        u_sample = u_sample[:, 1:-1, 1:-1, 1:-1]
+        u_data = u_data[:, 1:-1, 1:-1, 1:-1]
+        u_mean = u_mean[1:-1, 1:-1, 1:-1]
+
+        offset_multiplier = {"front": 3, "middle": 2, "back": 1}
+        W = min(u_sample.shape[2], u_sample.shape[3])
+        L = u_sample.shape[1]
+        distance = _jitted_distance(self._ops_id)
+
+        D_regions = []
+        out: Dict[str, float] = {}
+        for region, n in offset_multiplier.items():
+            start = L - n * W
+            if start < 0:
+                continue
+            sl = slice(start, start + W)
+            D, log_a, log_b, k = distance(
+                u_sample[:, sl], u_data[:, sl], u_mean[sl]
+            )
+            D = np.asarray(D, dtype=np.float64)
+            self.case_data[region][data.metadata.case_name] = (
+                np.asarray(log_a),
+                np.asarray(log_b),
+                np.asarray(k),
+            )
+            out[f"tke-{region}"] = wasserstein2(D)
+            D_regions.append(D)
+
+        if D_regions:
+            D_combined = np.sqrt((np.stack(D_regions) ** 2).sum(axis=0))
+            out["tke"] = wasserstein2(D_combined)
+        return out
+
+
+def _emd2_sq_job(D: np.ndarray) -> float:
+    return emd2_uniform(D**2)
+
+
+class WassersteinMetric:
+    def __init__(self, max_workers: Optional[int] = None):
+        self.max_workers = max_workers
+
+    def is_expensive(self) -> bool:
+        return True
+
+    def __call__(
+        self, samples: CaseData, data: CaseData, stats: FieldStats
+    ) -> Dict[str, float]:
+        regions_file = data.metadata.file.parent / "regions.npz"
+        if not regions_file.is_file():
+            return {}
+        assignments = np.load(regions_file)["assignments"]
+        region_counts = np.bincount(assignments)
+        region_weights = region_counts.astype(np.float64) / region_counts.sum()
+
+        sample_features = np.asarray(self.features(samples, stats))
+        data_features = np.asarray(self.features(data, stats))
+
+        n, m = samples.n_samples, data.n_samples
+        K = len(region_counts)
+
+        # Cost matrices are cheap (vectorized numpy); the EMDs are the hot part
+        # and run on a process pool, mirroring the reference's Deadpool usage.
+        jobs = {}
+        matrices = {}
+        for k in range(K):
+            sel = assignments == k
+            s_region = sample_features[:, sel]  # (n, R, F)
+            d_region = data_features[:, sel]  # (m, R, F)
+            for i in range(n):
+                diff = s_region[i][None, :, None, :] - d_region[:, None, :, :]
+                # (m, R, R) pairwise distances for all j at once
+                dist = np.linalg.norm(diff, axis=-1)
+                for j in range(m):
+                    matrices[(i, j, k)] = dist[j]
+
+        D = np.zeros((n, m, K))
+        n_workers = self.max_workers
+        if n_workers is None:
+            n_workers = min(32, os.cpu_count() or 1)
+        if n_workers > 1 and len(matrices) > 8:
+            with ProcessPoolExecutor(max_workers=n_workers) as pool:
+                for key, fut in [
+                    (key, pool.submit(_emd2_sq_job, mat)) for key, mat in matrices.items()
+                ]:
+                    D[key] = fut.result()
+        else:
+            for key, mat in matrices.items():
+                D[key] = _emd2_sq_job(mat)
+
+        D = np.sqrt(np.einsum("ijk,k->ij", D, region_weights))
+        return {"wasserstein": wasserstein2(D)}
+
+    def features(self, data: CaseData, stats: FieldStats) -> np.ndarray:
+        """Per-cell normalized (u, vorticity, p) features, (B, n_cells, 7)."""
+        u = np.asarray(data.fields[Variable.U])
+        p = np.asarray(data.fields[Variable.P])
+
+        u_grid = _embed_u(data)
+        vort = curl(u_grid, data.metadata.h)  # (B, X-2, Y-2, Z-2, 3)
+        B = vort.shape[0]
+        vort_cells = np.asarray(
+            vort.reshape(B, -1, 3)[:, data.metadata.unpadded_cell_idx]
+        )
+
+        features = np.concatenate([u, vort_cells, p], axis=-1)
+        _, std = stats.normalizers(
+            (Variable.U, Variable.CURL, Variable.P),
+            mode="u:norm-std;curl:norm-std;p:mean-std",
+        )
+        return features / std
+
+
+class MaxMeanTKEPositionMetric:
+    def is_expensive(self) -> bool:
+        return False
+
+    def __call__(
+        self, samples: CaseData, data: CaseData, stats: FieldStats
+    ) -> Dict[str, float]:
+        gt_path = data.metadata.file.parent / "max-mean-tke.npy"
+        if not gt_path.is_file():
+            return {}
+        gt = float(np.load(gt_path))
+
+        u_sample = np.asarray(_embed_u(samples))
+        # Mean-flow estimation is part of the task: estimate from samples.
+        u_fluc = u_sample - u_sample.mean(axis=0)
+        x_cut = min(24, u_sample.shape[1] - 1)
+        tke = 0.5 * (u_fluc[:, x_cut:] ** 2).sum(axis=-1)
+        profile = tke.mean(axis=(-1, -2))  # (B, X')
+        estimate = profile.argmax(axis=1).astype(np.float64).mean() + x_cut
+        return {"max-mean-tke-pos": (gt - estimate) ** 2}
+
+
+class SampleMetricsCollection:
+    def __init__(self, prefix: str, data_dir: Path, metrics: Sequence):
+        self.prefix = prefix
+        self.data_dir = Path(data_dir)
+        self.metrics = list(metrics)
+
+    @staticmethod
+    def default_metrics() -> List:
+        return [WassersteinTKE(), WassersteinMetric(), MaxMeanTKEPositionMetric()]
+
+    def compute(
+        self,
+        sample_store: SampleStore,
+        stats: FieldStats,
+        *,
+        expensive_metrics: bool = True,
+    ) -> Dict[str, float]:
+        values: Dict[str, float] = {}
+        metric_names = set()
+        case_names = sample_store.case_names
+        for case_name in case_names:
+            repo = CaseRepository(
+                [self.data_dir / case_name / "data.h5"], sample_store.variables
+            )
+            samples = sample_store.load_samples(repo.read_metadata(0))
+            if samples.n_samples == 0:
+                continue
+
+            # GT frames evenly spaced over the second half of the simulation.
+            n_data = len(repo.times[0])
+            data_idx = np.round(
+                np.linspace(n_data // 2, n_data - 1, num=samples.n_samples)
+            ).astype(int)
+            data = repo.read(0, data_idx)
+
+            for metric in self.metrics:
+                if not expensive_metrics and metric.is_expensive():
+                    continue
+                for name, value in metric(samples, data, stats).items():
+                    values[self.log_name(case_name, name)] = float(value)
+                    metric_names.add(name)
+
+        for name in metric_names:
+            case_values = [
+                values[self.log_name(c, name)]
+                for c in case_names
+                if self.log_name(c, name) in values
+            ]
+            values[f"{self.prefix}/{name}"] = float(np.mean(case_values))
+        return values
+
+    def log_name(self, case: str, metric: str) -> str:
+        return f"{self.prefix}/{case}/{metric}"

@@ -1,0 +1,269 @@
+"""Typed configuration with model presets and hydra-style CLI overrides.
+
+The config tree has three groups (mirroring the reference's hydra groups
+``model``/``data`` + trainer flags, ``config/train.yaml``):
+
+    model=diffusion|tfnet|dilresnet   selects a preset
+    data.root=...  model.dim=48      dotted-path overrides
+    trainer.max_epochs=10
+
+Values are parsed as YAML scalars (so ``1e-4``, ``true``, ``[1,2]`` work).
+Defaults reproduce the reference's shapes-experiment settings
+(``config/model/*.yaml``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass
+class ModelConfig:
+    name: str = "diffusion"
+    batch_size: int = 6
+    eval_batch_size: int = 8
+    monitor: str = "val/tke"
+    variables: str = "u,p"
+    normalization_mode: str = "u:norm-max;p:abs-max"
+
+    # conditioning
+    cell_type_features: bool = True
+    cell_type_embedding_type: str = "learned"
+    cell_type_embedding_dim: int = 4
+    cell_pos_features: bool = False
+
+    # optimization
+    learning_rate: float = 1e-4
+    min_learning_rate: float = 1e-6
+    lr_decay: Optional[str] = "exp"
+    max_epochs: int = 10
+    optimizer: str = "radam"
+
+    # --- diffusion specific -------------------------------------------------
+    dim: int = 32
+    u_net_levels: int = 4
+    beta_schedule: str = "log-snr-linear"
+    timesteps: int = 500
+    loss: str = "l2"
+    learned_variances: bool = False
+    elbo_weight: Optional[float] = 0.1
+    detach_elbo_mean: bool = True
+    clip_denoised: bool = False
+    noise_bcs: bool = True
+    time_embedding: str = "nyquist"
+    actfn: str = "silu"
+    norm_type: str = "group"
+    with_geometry_embedding: bool = False
+    attention_kind: str = "full"
+    sampler: str = "ddpm"  # or "ddim"
+    ddim_steps: int = 50
+    ddim_eta: float = 0.0
+
+    # --- regression specific --------------------------------------------------
+    context_window: int = 6
+    unroll_steps: int = 4
+    eval_unroll_steps: int = 30
+    sample_steps: Tuple[int, ...] = ()
+    main_sample_step: int = -1
+    compute_expensive_sample_metrics: bool = True
+    # tfnet
+    temporal_filtering_length: int = 4
+    dropout_rate: float = 0.0
+    kernel_size: int = 3
+    # dilresnet
+    N: int = 4
+    hidden_dim: int = 48
+    training_noise_std: Optional[float] = 1e-3
+
+    # numerics
+    compute_dtype: str = "float32"  # or "bfloat16"
+
+
+MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
+    # config/model/diffusion.yaml
+    "diffusion": {},
+    # config/model/tfnet.yaml
+    "tfnet": {
+        "name": "tfnet",
+        "batch_size": 6,
+        "eval_batch_size": 4,
+        "monitor": "val/loss",
+        "cell_type_embedding_dim": 8,
+        "learning_rate": 1e-3,
+        "lr_decay": None,
+        "optimizer": "adam",
+        "max_epochs": 2,
+        "context_window": 6,
+        "unroll_steps": 4,
+        "eval_unroll_steps": 30,
+    },
+    # config/model/dilresnet.yaml
+    "dilresnet": {
+        "name": "dilresnet",
+        "batch_size": 3,
+        "eval_batch_size": 4,
+        "monitor": "val/loss",
+        "cell_type_embedding_dim": 8,
+        "learning_rate": 1e-3,
+        "min_learning_rate": 1e-6,
+        "lr_decay": "exp",
+        "optimizer": "adam",
+        "max_epochs": 4,
+        "context_window": 1,
+        "unroll_steps": 1,
+        "eval_unroll_steps": 30,
+    },
+}
+
+
+@dataclasses.dataclass
+class DataConfig:
+    root: str = "data/shapes"
+    discard_first_seconds: float = 0.025
+    batch_size: Optional[int] = None  # defaults to model.batch_size
+    eval_batch_size: Optional[int] = None
+    val_samples: int = 8
+    test_samples: int = 16
+    stride: int = 1  # sequence datasets only
+    prefetch_size: int = 2
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_epochs: Optional[int] = None  # defaults to model.max_epochs
+    check_val_every_n_epoch: int = 100
+    gradient_clip_val: float = 0.1
+    log_every_n_steps: int = 5
+    train_limit: Optional[str] = "24h"
+    eval_testset: bool = False
+    out_dir: str = "runs/default"
+    samples_root: Optional[str] = None  # defaults to out_dir/samples
+    seed: int = 0
+    checkpoint_every_n_epochs: int = 1
+    keep_checkpoints: int = 1
+    # parallelism: data-parallel and spatial axes of the device mesh
+    mesh_shape: Optional[Tuple[int, int]] = None  # (dp, sp); None = single device
+    matmul_precision: str = "default"  # default | high | highest
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    trainer: TrainerConfig = dataclasses.field(default_factory=TrainerConfig)
+
+    def resolved(self) -> "Config":
+        """Fill cross-group defaults (data batch sizes from model, etc.)."""
+        cfg = dataclasses.replace(self)
+        if cfg.data.batch_size is None:
+            cfg.data = dataclasses.replace(cfg.data, batch_size=cfg.model.batch_size)
+        if cfg.data.eval_batch_size is None:
+            cfg.data = dataclasses.replace(
+                cfg.data, eval_batch_size=cfg.model.eval_batch_size
+            )
+        if cfg.trainer.max_epochs is None:
+            cfg.trainer = dataclasses.replace(
+                cfg.trainer, max_epochs=cfg.model.max_epochs
+            )
+        if cfg.trainer.samples_root is None:
+            cfg.trainer = dataclasses.replace(
+                cfg.trainer, samples_root=str(Path(cfg.trainer.out_dir) / "samples")
+            )
+        return cfg
+
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    @staticmethod
+    def from_dict(d: Dict[str, Any]) -> "Config":
+        model = d.get("model", {})
+        data = d.get("data", {})
+        trainer = d.get("trainer", {})
+        if isinstance(model.get("sample_steps"), list):
+            model["sample_steps"] = tuple(model["sample_steps"])
+        if isinstance(trainer.get("mesh_shape"), list):
+            trainer["mesh_shape"] = tuple(trainer["mesh_shape"])
+        return Config(
+            model=ModelConfig(**model),
+            data=DataConfig(**data),
+            trainer=TrainerConfig(**trainer),
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict())
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        return Config.from_dict(json.loads(s))
+
+
+def _set_dotted(obj: Any, path: List[str], value: Any):
+    field = path[0]
+    if len(path) == 1:
+        if not hasattr(obj, field):
+            raise AttributeError(f"Unknown config field {field!r} on {type(obj).__name__}")
+        current = getattr(obj, field)
+        if isinstance(current, tuple) and isinstance(value, list):
+            value = tuple(value)
+        setattr(obj, field, value)
+    else:
+        _set_dotted(getattr(obj, field), path[1:], value)
+
+
+def parse_cli_overrides(args: Sequence[str], base: Optional[Config] = None) -> Config:
+    """Parse ``model=diffusion data.root=... model.dim=48``-style overrides."""
+    cfg = base if base is not None else Config()
+    # First pass: group selectors (model=..., which swap in presets).
+    rest = []
+    for arg in args:
+        key, _, raw = arg.partition("=")
+        if key == "model":
+            preset = MODEL_PRESETS.get(raw)
+            if preset is None:
+                raise ValueError(
+                    f"Unknown model {raw!r}; options: {sorted(MODEL_PRESETS)}"
+                )
+            cfg.model = ModelConfig(**preset)
+        elif key == "config":
+            cfg = load_config(raw, base=cfg)
+        else:
+            rest.append(arg)
+    # Second pass: dotted overrides with YAML-typed values.
+    for arg in rest:
+        key, _, raw = arg.partition("=")
+        _set_dotted(cfg, key.split("."), _parse_scalar(raw))
+    return cfg
+
+
+def _parse_scalar(raw: str) -> Any:
+    if raw == "":
+        return None
+    value = yaml.safe_load(raw)
+    # YAML 1.1 treats "1e-5" (no dot) as a string; coerce numeric-looking strings.
+    if isinstance(value, str):
+        try:
+            return int(value)
+        except ValueError:
+            pass
+        try:
+            return float(value)
+        except ValueError:
+            pass
+    return value
+
+
+def load_config(path: str, base: Optional[Config] = None) -> Config:
+    """Load a config from a YAML/JSON file, merged over ``base``."""
+    raw = Path(path).read_text()
+    d = yaml.safe_load(raw)
+    cfg = (base or Config()).to_dict()
+    for group, values in d.items():
+        if group == "model" and "name" in values:
+            cfg["model"].update(MODEL_PRESETS.get(values["name"], {}))
+        cfg.setdefault(group, {}).update(values or {})
+    return Config.from_dict(cfg)

@@ -1,0 +1,199 @@
+"""The diffusion training task: wires normalization + conditioning +
+DenoisingModel + GaussianDiffusion into jitted train/sample steps.
+
+Equivalent role to ``turbdiff/models/diffusion.py:41-242`` (DiffusionTraining),
+re-designed functional: one jitted ``train_step`` (donated state), one jitted
+sampler per (sampler kind, batch shape), explicit RNG threading, sharding via
+the (dp, sp) mesh from ``parallel.mesh``.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training.train_state import TrainState
+
+from ..data.dataset import Batch
+from ..data.grid import GridMap, embed_cells, gather_cells
+from ..data.schema import FieldStats
+from ..data.variables import Variable, total_dims
+from ..diffusion import GaussianDiffusion
+from ..eval.metrics import SampleMetricsCollection
+from ..eval.sample_store import SampleStore
+from ..models import Conditioning, DenoisingModel, Normalizer
+from ..parallel.mesh import constrain_dense, shard_batch_arrays
+from .config import ModelConfig
+from .optimizers import build_optimizer
+
+
+class DiffusionTask:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        stats: FieldStats,
+        data_dir: Path,
+        samples_root: Path,
+        *,
+        max_train_steps: int = 1,
+        gradient_clip_val: float = 0.1,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.mesh = mesh
+        self.variables = Variable.parse_tuple(cfg.variables)
+        assert Variable.U in self.variables
+        self.normalizer = Normalizer.from_stats(
+            stats, self.variables, cfg.normalization_mode
+        )
+        self.monitor = cfg.monitor
+
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        conditioning = None
+        if cfg.cell_type_features or cfg.cell_pos_features:
+            conditioning = Conditioning(
+                cell_type_features=cfg.cell_type_features,
+                cell_type_embedding=cfg.cell_type_embedding_type,
+                cell_type_embedding_dim=cfg.cell_type_embedding_dim,
+                cell_pos_features=cfg.cell_pos_features,
+                dtype=dtype,
+            )
+
+        n_features = total_dims(self.variables)
+        self.net = DenoisingModel(
+            out_features=n_features * (2 if cfg.learned_variances else 1),
+            timesteps=cfg.timesteps,
+            dim=cfg.dim,
+            u_net_levels=cfg.u_net_levels,
+            actfn_name=cfg.actfn,
+            norm_type=cfg.norm_type,
+            time_embedding=cfg.time_embedding,
+            attention_kind=cfg.attention_kind,
+            with_geometry_embedding=cfg.with_geometry_embedding,
+            conditioning=conditioning,
+            dtype=dtype,
+        )
+        self.diffusion = GaussianDiffusion.create(
+            beta_schedule=cfg.beta_schedule,
+            timesteps=cfg.timesteps,
+            loss_type=cfg.loss,
+            clip_denoised=cfg.clip_denoised,
+            noise_bcs=cfg.noise_bcs,
+            learned_variances=cfg.learned_variances,
+            elbo_weight=cfg.elbo_weight if cfg.learned_variances else None,
+            detach_elbo_mean=cfg.detach_elbo_mean,
+        )
+        self.tx = build_optimizer(
+            optimizer=cfg.optimizer,
+            learning_rate=cfg.learning_rate,
+            min_learning_rate=cfg.min_learning_rate,
+            lr_decay=cfg.lr_decay,
+            max_train_steps=max_train_steps,
+            gradient_clip_val=gradient_clip_val,
+        )
+
+        self.val_sample_store = SampleStore(
+            Path(samples_root) / "val-samples.h5", self.variables
+        )
+        self.test_sample_store = SampleStore(
+            Path(samples_root) / "test-samples.h5", self.variables
+        )
+        self.val_metrics = SampleMetricsCollection(
+            "val", data_dir, SampleMetricsCollection.default_metrics()
+        )
+        self.test_metrics = SampleMetricsCollection(
+            "test", data_dir, SampleMetricsCollection.default_metrics()
+        )
+
+    # ---- state -------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, batch: Batch) -> TrainState:
+        x = self._model_input(jnp.asarray(batch.cells[:1]), batch.grid)
+        t = jnp.zeros((1,), dtype=jnp.int32)
+        params = self.net.init(rng, x, t, batch.grid.cell_types)
+        return TrainState.create(apply_fn=self.net.apply, params=params, tx=self.tx)
+
+    def n_params(self, state: TrainState) -> int:
+        return sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
+
+    # ---- jitted steps --------------------------------------------------------
+
+    def _model_input(self, cells: jnp.ndarray, grid: GridMap) -> jnp.ndarray:
+        dense = embed_cells(cells, grid)
+        dense = constrain_dense(self.mesh, dense)
+        return self.normalizer.normalize(dense)
+
+    def _eps_fn(self, params, grid: GridMap):
+        def eps_fn(x_t, t):
+            return self.net.apply(params, x_t, t, grid.cell_types)
+
+        return eps_fn
+
+    @functools.cached_property
+    def train_step(self):
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def step(state: TrainState, cells: jnp.ndarray, grid: GridMap, rng: jax.Array):
+            x = self._model_input(cells, grid)
+
+            def loss_fn(params):
+                return self.diffusion.loss(self._eps_fn(params, grid), x, grid, rng)
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            state = state.apply_gradients(grads=grads)
+            return state, {"train/loss": loss}
+
+        return step
+
+    @functools.cached_property
+    def _sample_fn(self):
+        @jax.jit
+        def sample(params, cells: jnp.ndarray, grid: GridMap, rng: jax.Array):
+            x_bcs = self._model_input(cells, grid)
+            eps_fn = self._eps_fn(params, grid)
+            if self.cfg.sampler == "ddim":
+                x = self.diffusion.ddim_sample_loop(
+                    eps_fn,
+                    x_bcs,
+                    grid,
+                    rng,
+                    num_steps=self.cfg.ddim_steps,
+                    eta=self.cfg.ddim_eta,
+                )
+            else:
+                x = self.diffusion.p_sample_loop(eps_fn, x_bcs, grid, rng)
+            x = self.normalizer.denormalize(x)
+            return gather_cells(x, grid)
+
+        return sample
+
+    # ---- host-level API -------------------------------------------------------
+
+    def training_step(
+        self, state: TrainState, batch: Batch, rng: jax.Array
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        cells, grid = shard_batch_arrays(self.mesh, jnp.asarray(batch.cells), batch.grid)
+        state, metrics = self.train_step(state, cells, grid, rng)
+        return state, metrics
+
+    def sample(self, state: TrainState, batch: Batch, rng: jax.Array) -> np.ndarray:
+        """Generate denormalized samples as (B, n_cells, F) host array."""
+        cells, grid = shard_batch_arrays(self.mesh, jnp.asarray(batch.cells), batch.grid)
+        return np.asarray(self._sample_fn(state.params, cells, grid, rng))
+
+    def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array, phase: str):
+        store = self.val_sample_store if phase == "val" else self.test_sample_store
+        samples = self.sample(state, batch, rng)
+        store.add_samples(samples, batch.metadata)
+        return {}
+
+    def on_eval_start(self, phase: str):
+        (self.val_sample_store if phase == "val" else self.test_sample_store).reset()
+
+    def on_eval_end(self, stats: FieldStats, phase: str, *, expensive: bool):
+        store = self.val_sample_store if phase == "val" else self.test_sample_store
+        metrics = self.val_metrics if phase == "val" else self.test_metrics
+        return metrics.compute(store, stats, expensive_metrics=expensive)

@@ -1,0 +1,82 @@
+"""Build datamodule + task from a resolved Config (the reference's
+``turbdiff/config.py:17-165`` factory equivalent)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Tuple
+
+from ..data.dataset import DataModule
+from ..data.sequence import SequenceDataModule
+from ..data.variables import Variable
+from ..parallel.mesh import create_mesh
+from .config import Config
+from .diffusion_task import DiffusionTask
+from .regression_task import DilResNetTask, TFNetTask
+
+
+def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
+    config = config.resolved()
+    mc, dc, tc = config.model, config.data, config.trainer
+    variables = Variable.parse_tuple(mc.variables)
+    root = Path(dc.root)
+    mesh = create_mesh(tc.mesh_shape)
+
+    if mc.name == "diffusion":
+        dm = DataModule(
+            root,
+            discard_first_seconds=dc.discard_first_seconds,
+            batch_size=dc.batch_size,
+            eval_batch_size=dc.eval_batch_size,
+            val_samples=dc.val_samples,
+            test_samples=dc.test_samples,
+            variables=variables,
+            prefetch_size=dc.prefetch_size,
+            seed=tc.seed,
+        )
+        dm.setup("fit")
+        # LR schedule length = epochs * batches/epoch (reference config.py:72-73)
+        max_train_steps = max(1, tc.max_epochs or mc.max_epochs) * dm.n_train_batches()
+        task = DiffusionTask(
+            mc,
+            dm.stats,
+            data_dir=root / "val",
+            samples_root=Path(tc.samples_root),
+            max_train_steps=max_train_steps,
+            gradient_clip_val=tc.gradient_clip_val,
+            mesh=mesh,
+        )
+        return dm, task
+
+    if mc.name in ("tfnet", "dilresnet"):
+        seq_len = mc.context_window + mc.unroll_steps
+        eval_seq_len = mc.context_window + mc.eval_unroll_steps
+        dm = SequenceDataModule(
+            root,
+            discard_first_seconds=dc.discard_first_seconds,
+            batch_size=dc.batch_size,
+            seq_len=seq_len,
+            eval_batch_size=dc.eval_batch_size,
+            eval_seq_len=eval_seq_len,
+            val_samples=dc.val_samples,
+            test_samples=dc.test_samples,
+            variables=variables,
+            stride=dc.stride,
+            prefetch_size=dc.prefetch_size,
+            seed=tc.seed,
+        )
+        dm.setup("fit")
+        max_train_steps = max(1, tc.max_epochs or mc.max_epochs) * dm.n_train_batches()
+        task_cls = TFNetTask if mc.name == "tfnet" else DilResNetTask
+        task = task_cls(
+            mc,
+            dm.stats,
+            data_dir=root / "val",
+            samples_root=Path(tc.samples_root),
+            max_train_steps=max_train_steps,
+            gradient_clip_val=tc.gradient_clip_val,
+            mesh=mesh,
+        )
+        return dm, task
+
+    raise ValueError(f"Unknown model {mc.name!r}")

@@ -1,0 +1,151 @@
+"""The training loop: epochs, periodic validation, checkpointing, time limit.
+
+Replaces the pytorch-lightning Trainer wiring of the reference
+(``train.py:131-212``): explicit RNG threading (seed -> fold_in per step),
+check_val_every_n_epoch semantics, a wall-clock train limit that forces a
+final validation before stopping (``turbdiff/time_limit.py:29-42``), last +
+best-on-monitor checkpoints, JSONL/wandb metric logging, and optional test
+evaluation on the best checkpoint.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from .checkpoint import CheckpointManager
+from .config import Config
+from .logging import MetricLogger
+
+
+def _mean_over_batches(outputs) -> Dict[str, float]:
+    """Average per-batch eval-step metric dicts key-wise."""
+    merged: Dict[str, list] = {}
+    for out in outputs:
+        for k, v in out.items():
+            merged.setdefault(k, []).append(float(v))
+    return {k: float(np.mean(v)) for k, v in merged.items()}
+
+
+def parse_duration(spec: Optional[str]) -> Optional[float]:
+    """'24h' / '30m' / '90s' / '1d' -> seconds."""
+    if spec is None:
+        return None
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)([dhms])", spec.strip())
+    if not m:
+        raise ValueError(f"Bad duration {spec!r}; use e.g. 24h, 30m, 90s")
+    value, unit = float(m.group(1)), m.group(2)
+    return value * {"d": 86400, "h": 3600, "m": 60, "s": 1}[unit]
+
+
+class Trainer:
+    def __init__(self, config: Config, task, datamodule, *, use_wandb: bool = False):
+        self.config = config.resolved()
+        self.task = task
+        self.dm = datamodule
+        tc = self.config.trainer
+        self.out_dir = Path(tc.out_dir)
+        self.logger = MetricLogger(self.out_dir, use_wandb=use_wandb)
+        self.ckpt = CheckpointManager(self.out_dir / "checkpoints", self.config.to_json())
+        self.time_limit = parse_duration(tc.train_limit)
+        self.monitor = task.monitor
+
+    def fit(self, state=None) -> Dict[str, float]:
+        tc = self.config.trainer
+        rng = jax.random.PRNGKey(tc.seed)
+        self.dm.setup("fit")
+
+        if state is None:
+            init_rng, rng = jax.random.split(rng)
+            example = next(iter(self.dm.val_batches()))
+            state = self.task.init_state(init_rng, example)
+            self.logger.console(
+                f"initialized model with {self.task.n_params(state):,} parameters"
+            )
+
+        start = time.time()
+        stop = False
+        last_val_metrics: Dict[str, float] = {}
+        step = int(state.step)
+
+        for epoch in range(tc.max_epochs):
+            if stop:
+                break
+            epoch_losses = []
+            for batch in self.dm.train_batches():
+                step_rng = jax.random.fold_in(rng, step)
+                state, metrics = self.task.training_step(state, batch, step_rng)
+                step += 1
+                loss = float(metrics["train/loss"])
+                epoch_losses.append(loss)
+                if step % tc.log_every_n_steps == 0:
+                    self.logger.log(
+                        {k: float(v) for k, v in metrics.items()},
+                        step=step,
+                        epoch=epoch,
+                    )
+                if self.time_limit is not None and time.time() - start > self.time_limit:
+                    self.logger.console("train limit reached; running final validation")
+                    stop = True
+                    break
+
+            self.logger.console(
+                f"epoch {epoch}: train/loss={np.mean(epoch_losses):.5f} ({step} steps)"
+            )
+
+            final_epoch = stop or epoch == tc.max_epochs - 1
+            if final_epoch or (epoch + 1) % tc.check_val_every_n_epoch == 0:
+                val_metrics = self.validate(state, rng, expensive=final_epoch, epoch=epoch)
+                last_val_metrics = val_metrics
+                if self.monitor in val_metrics:
+                    self.ckpt.save_best(state, step, val_metrics[self.monitor])
+                    self.logger.update_best(self.monitor, val_metrics, step)
+
+            if (epoch + 1) % tc.checkpoint_every_n_epochs == 0 or final_epoch:
+                self.ckpt.save_last(state, step)
+
+        if tc.eval_testset:
+            test_metrics = self.test(state, rng)
+            last_val_metrics.update(test_metrics)
+
+        self.state = state
+        return last_val_metrics
+
+    def validate(
+        self, state, rng: jax.Array, *, expensive: bool = False, epoch: int = 0
+    ) -> Dict[str, float]:
+        self.dm.setup("validate")
+        self.task.on_eval_start("val")
+        step_outputs = []
+        for i, batch in enumerate(self.dm.val_batches()):
+            eval_rng = jax.random.fold_in(rng, 1_000_000 + i)
+            out = self.task.eval_step(state, batch, eval_rng, "val")
+            if out:
+                step_outputs.append(out)
+        metrics = self.task.on_eval_end(self.dm.stats, "val", expensive=expensive)
+        metrics.update(_mean_over_batches(step_outputs))
+        self.logger.log(metrics, step=int(state.step), epoch=epoch)
+        summary = {
+            k: v for k, v in metrics.items() if k.count("/") == 1
+        }
+        self.logger.console(f"validation: {summary}")
+        return metrics
+
+    def test(self, state, rng: jax.Array) -> Dict[str, float]:
+        self.dm.setup("test")
+        self.task.on_eval_start("test")
+        step_outputs = []
+        for i, batch in enumerate(self.dm.test_batches()):
+            eval_rng = jax.random.fold_in(rng, 2_000_000 + i)
+            out = self.task.eval_step(state, batch, eval_rng, "test")
+            if out:
+                step_outputs.append(out)
+        metrics = self.task.on_eval_end(self.dm.stats, "test", expensive=True)
+        metrics.update(_mean_over_batches(step_outputs))
+        self.logger.log(metrics, step=int(state.step))
+        return metrics

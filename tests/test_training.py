@@ -1,0 +1,173 @@
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from generative_turbulence_tpu.training import Config, parse_cli_overrides
+from generative_turbulence_tpu.training.loop import parse_duration
+
+
+def test_config_presets_and_overrides():
+    cfg = parse_cli_overrides(["model=dilresnet", "model.hidden_dim=32", "data.root=/x"])
+    assert cfg.model.name == "dilresnet"
+    assert cfg.model.hidden_dim == 32
+    assert cfg.model.optimizer == "adam"
+    assert cfg.data.root == "/x"
+
+    resolved = cfg.resolved()
+    assert resolved.data.batch_size == cfg.model.batch_size
+    assert resolved.trainer.max_epochs == 4
+
+    # yaml-typed values
+    cfg2 = parse_cli_overrides(["model.learning_rate=1e-5", "model.noise_bcs=false"])
+    assert cfg2.model.learning_rate == pytest.approx(1e-5)
+    assert cfg2.model.noise_bcs is False
+
+    # unknown keys rejected
+    with pytest.raises(AttributeError):
+        parse_cli_overrides(["model.nonexistent=1"])
+
+    # round-trips through json
+    cfg3 = Config.from_json(cfg.to_json())
+    assert cfg3.model.hidden_dim == 32
+
+
+def test_parse_duration():
+    assert parse_duration("24h") == 24 * 3600
+    assert parse_duration("30m") == 1800
+    assert parse_duration("90s") == 90
+    assert parse_duration(None) is None
+    with pytest.raises(ValueError):
+        parse_duration("abc")
+
+
+@pytest.fixture()
+def tiny_config(synthetic_root, tmp_path):
+    return parse_cli_overrides(
+        [
+            "model=diffusion",
+            f"data.root={synthetic_root}",
+            "data.discard_first_seconds=-1",
+            "data.val_samples=2",
+            "data.eval_batch_size=2",
+            "model.batch_size=4",
+            "model.dim=8",
+            "model.u_net_levels=1",
+            "model.timesteps=5",
+            "model.cell_type_embedding_dim=4",
+            f"trainer.out_dir={tmp_path}/run",
+            "trainer.max_epochs=1",
+            "trainer.check_val_every_n_epoch=1",
+            "trainer.log_every_n_steps=1",
+        ]
+    ).resolved()
+
+
+def test_diffusion_end_to_end(tiny_config, synthetic_root, tmp_path):
+    from generative_turbulence_tpu.training import Trainer
+    from generative_turbulence_tpu.training.factory import instantiate_data_and_task
+
+    dm, task = instantiate_data_and_task(tiny_config)
+    trainer = Trainer(tiny_config, task, dm)
+    metrics = trainer.fit()
+
+    # the monitored TKE metric was computed on the final validation
+    assert "val/tke" in metrics
+    assert np.isfinite(metrics["val/tke"])
+    # expensive metric ran on the final epoch
+    assert "val/wasserstein" in metrics
+    assert "val/max-mean-tke-pos" in metrics
+
+    # metrics were logged to JSONL
+    log_file = Path(tiny_config.trainer.out_dir) / "metrics.jsonl"
+    records = [json.loads(line) for line in log_file.read_text().splitlines()]
+    assert any("train/loss" in r for r in records)
+
+    # checkpoints exist and embed the config
+    ckpt_dir = Path(tiny_config.trainer.out_dir) / "checkpoints"
+    assert (ckpt_dir / "last").exists()
+    assert (ckpt_dir / "best").exists()
+    stored = json.loads((ckpt_dir / "config.json").read_text())
+    assert stored["model"]["name"] == "diffusion"
+
+    # restore round-trip
+    import jax
+    from generative_turbulence_tpu.training.checkpoint import CheckpointManager
+
+    mgr = CheckpointManager(ckpt_dir)
+    template = jax.tree_util.tree_map(np.asarray, trainer.state)
+    restored = mgr.restore(template, "last")
+    leaf0 = jax.tree_util.tree_leaves(restored.params)[0]
+    leaf0_orig = jax.tree_util.tree_leaves(trainer.state.params)[0]
+    np.testing.assert_allclose(np.asarray(leaf0), np.asarray(leaf0_orig))
+
+
+def test_dilresnet_end_to_end(synthetic_root, tmp_path):
+    from generative_turbulence_tpu.training import Trainer, parse_cli_overrides
+    from generative_turbulence_tpu.training.factory import instantiate_data_and_task
+
+    cfg = parse_cli_overrides(
+        [
+            "model=dilresnet",
+            f"data.root={synthetic_root}",
+            "data.discard_first_seconds=-1",
+            "data.val_samples=2",
+            "data.eval_batch_size=2",
+            "model.batch_size=2",
+            "model.hidden_dim=8",
+            "model.N=1",
+            "model.eval_unroll_steps=3",
+            "model.sample_steps=[1,3]",
+            "model.main_sample_step=3",
+            "model.compute_expensive_sample_metrics=false",
+            f"trainer.out_dir={tmp_path}/run-drn",
+            "trainer.max_epochs=1",
+            "trainer.check_val_every_n_epoch=1",
+        ]
+    ).resolved()
+
+    dm, task = instantiate_data_and_task(cfg)
+    trainer = Trainer(cfg, task, dm)
+    metrics = trainer.fit()
+
+    assert "val/loss" in metrics and np.isfinite(metrics["val/loss"])
+    # per-step unroll MSE logged
+    log_file = Path(cfg.trainer.out_dir) / "metrics.jsonl"
+    text = log_file.read_text()
+    assert "val/unroll/mse-u-1" in text
+    # sample-step metrics present, incl. promoted main-step global name
+    assert "val/3/tke" in metrics
+    assert "val/tke" in metrics
+
+    # running delta stats were tracked
+    assert int(trainer.state.n_tracked) > 0
+    assert not np.allclose(np.asarray(trainer.state.dx_var), 1.0)
+
+
+def test_tfnet_end_to_end(synthetic_root, tmp_path):
+    from generative_turbulence_tpu.training import Trainer, parse_cli_overrides
+    from generative_turbulence_tpu.training.factory import instantiate_data_and_task
+
+    cfg = parse_cli_overrides(
+        [
+            "model=tfnet",
+            f"data.root={synthetic_root}",
+            "data.discard_first_seconds=-1",
+            "data.val_samples=2",
+            "data.eval_batch_size=2",
+            "model.batch_size=2",
+            "model.context_window=4",
+            "model.unroll_steps=2",
+            "model.eval_unroll_steps=2",
+            "model.temporal_filtering_length=2",
+            f"trainer.out_dir={tmp_path}/run-tfnet",
+            "trainer.max_epochs=1",
+            "trainer.check_val_every_n_epoch=1",
+        ]
+    ).resolved()
+
+    dm, task = instantiate_data_and_task(cfg)
+    trainer = Trainer(cfg, task, dm)
+    metrics = trainer.fit()
+    assert "val/loss" in metrics and np.isfinite(metrics["val/loss"])
