@@ -1,0 +1,181 @@
+"""Case-generation driver: channel config -> complete OpenFOAM case.
+
+Counterpart of the reference's ``scripts/generate_utils.py`` (ChannelConfig +
+generate_case): instantiates the LES template, meshes the channel with the
+obstacle holes (blockMeshDict for OpenFOAM AND, uniquely to this framework, a
+ready polyMesh via the pure-python boxmesh), and records mesh-params.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .boxmesh import write_polymesh
+from .les_case import write_case
+from .mesher import Box, mesh_channel, write_blockmesh_dict, write_mesh_params
+
+
+@dataclasses.dataclass
+class ChannelConfig:
+    """Physical + numerical channel parameters (shapes defaults: 0.4 x 0.1 x
+    0.1 m over 192 x 48 x 48 cells, inflow 20 m/s, nu 1e-5)."""
+
+    size: Tuple[float, float, float] = (0.4, 0.1, 0.1)
+    cell_counts: Tuple[int, int, int] = (192, 48, 48)
+    inflow: float = 20.0
+    nu: float = 1e-5
+    end_time: float = 0.5
+    delta_t: float = 1e-5
+    write_interval: float = 1e-4
+    n_subdomains: int = 1
+    holes: List[Box] = dataclasses.field(default_factory=list)
+    scale: float = 1.0  # refine (>1) or coarsen (<1) the grid
+
+    @property
+    def scaled_counts(self) -> Tuple[int, int, int]:
+        return tuple(int(round(c * self.scale)) for c in self.cell_counts)
+
+    @property
+    def h(self) -> Tuple[float, float, float]:
+        return tuple(s / c for s, c in zip(self.size, self.scaled_counts))
+
+    def two_dimensionalized(self) -> "ChannelConfig":
+        """Collapse the z axis to one cell (2D channel), scaling holes."""
+        nx, ny, _ = self.cell_counts
+        holes2d = [
+            Box((b.lo[0], b.lo[1], 0), (b.hi[0], b.hi[1], 1)) for b in self.holes
+        ]
+        return dataclasses.replace(
+            self, cell_counts=(nx, ny, 1), holes=holes2d
+        )
+
+    def scaled_holes(self) -> List[Box]:
+        if self.scale == 1.0:
+            return list(self.holes)
+        s = self.scale
+        return [
+            Box(
+                tuple(int(round(l * s)) for l in b.lo),
+                tuple(int(round(h * s)) for h in b.hi),
+            )
+            for b in self.holes
+        ]
+
+
+def generate_case(
+    case_dir: Path,
+    config: ChannelConfig,
+    *,
+    write_polymesh_too: bool = True,
+) -> Path:
+    """Create a ready-to-solve case directory."""
+    case_dir = Path(case_dir)
+    counts = config.scaled_counts
+    two_d = min(counts) == 1
+
+    write_case(
+        case_dir,
+        inflow=config.inflow,
+        nu=config.nu,
+        end_time=config.end_time,
+        delta_t=config.delta_t,
+        write_interval=config.write_interval,
+        n_subdomains=config.n_subdomains,
+        two_dimensional=two_d,
+    )
+
+    mesh = mesh_channel(counts, config.scaled_holes(), config.h)
+    write_blockmesh_dict(mesh, case_dir / "system" / "blockMeshDict")
+    write_mesh_params(mesh, case_dir / "mesh-params.json")
+
+    if write_polymesh_too:
+        inside = np.ones(counts, dtype=bool)
+        for hole in config.scaled_holes():
+            inside[
+                hole.lo[0] : hole.hi[0],
+                hole.lo[1] : hole.hi[1],
+                hole.lo[2] : hole.hi[2],
+            ] = False
+        write_polymesh(case_dir, inside, config.h)
+
+    return case_dir
+
+
+def domain_mask(config: ChannelConfig) -> np.ndarray:
+    counts = config.scaled_counts
+    inside = np.ones(counts, dtype=bool)
+    for hole in config.scaled_holes():
+        inside[
+            hole.lo[0] : hole.hi[0],
+            hole.lo[1] : hole.hi[1],
+            hole.lo[2] : hole.hi[2],
+        ] = False
+    return inside
+
+
+def mock_solve(
+    case_dir: Path,
+    config: ChannelConfig,
+    *,
+    n_frames: int = 4,
+    seed: int = 0,
+) -> None:
+    """Write synthetic solved time directories onto a generated case.
+
+    Stand-in for the OpenFOAM run so the conversion pipeline (foam2h5 +
+    grid-embedding) is testable offline.  Fields are smooth random + plug
+    flow, zero on no-slip cells is NOT enforced (the solver enforces BCs on
+    faces, not cells).
+    """
+    from .foam_io import write_field
+
+    rng = np.random.default_rng(seed)
+    inside = domain_mask(config)
+    n_cells = int(inside.sum())
+
+    bf_specs = {
+        "U": {
+            "inlets": {"type": "fixedValue", "value": np.array([config.inflow, 0, 0])},
+            "outlets": {"type": "inletOutlet", "inletValue": np.zeros(3)},
+            "walls": {"type": "noSlip"},
+        },
+        "p": {
+            "inlets": {"type": "zeroGradient"},
+            "outlets": {"type": "fixedValue", "value": np.array([0.0])},
+            "walls": {"type": "zeroGradient"},
+        },
+        "k": {
+            "inlets": {"type": "fixedValue", "value": np.array([1e-3])},
+            "outlets": {"type": "zeroGradient"},
+            "walls": {"type": "fixedValue", "value": np.array([0.0])},
+        },
+        "nut": {
+            "inlets": {"type": "calculated", "value": np.array([0.0])},
+            "outlets": {"type": "calculated", "value": np.array([0.0])},
+            "walls": {"type": "nutkWallFunction", "value": np.array([0.0])},
+        },
+    }
+    dims = {
+        "U": "[0 1 -1 0 0 0 0]",
+        "p": "[0 2 -2 0 0 0 0]",
+        "k": "[0 2 -2 0 0 0 0]",
+        "nut": "[0 2 -1 0 0 0 0]",
+    }
+
+    for i in range(n_frames):
+        t = (i + 1) * config.write_interval
+        tdir = Path(case_dir) / f"{t:.6g}"
+        tdir.mkdir(exist_ok=True)
+        u = rng.normal(0, 0.2 * config.inflow, size=(n_cells, 3))
+        u[:, 0] += config.inflow
+        p = rng.normal(0, 5.0, size=(n_cells, 1))
+        k = np.abs(rng.normal(0, 0.5, size=(n_cells, 1)))
+        nut = np.abs(rng.normal(0, config.nu, size=(n_cells, 1)))
+        write_field(tdir / "U", "U", u, bf_specs["U"], dims["U"])
+        write_field(tdir / "p", "p", p[:, 0], bf_specs["p"], dims["p"])
+        write_field(tdir / "k", "k", k[:, 0], bf_specs["k"], dims["k"])
+        write_field(tdir / "nut", "nut", nut[:, 0], bf_specs["nut"], dims["nut"])

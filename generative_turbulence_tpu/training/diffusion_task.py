@@ -114,7 +114,8 @@ class DiffusionTask:
     def init_state(self, rng: jax.Array, batch: Batch) -> TrainState:
         x = self._model_input(jnp.asarray(batch.cells[:1]), batch.grid)
         t = jnp.zeros((1,), dtype=jnp.int32)
-        params = self.net.init(rng, x, t, batch.grid.cell_types)
+        # jit the init: eager flax init is pathologically slow on remote TPUs
+        params = jax.jit(self.net.init)(rng, x, t, batch.grid.cell_types)
         return TrainState.create(apply_fn=self.net.apply, params=params, tx=self.tx)
 
     def n_params(self, state: TrainState) -> int:

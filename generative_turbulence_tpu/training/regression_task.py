@@ -119,7 +119,7 @@ class RegressionTaskBase:
 
     def init_state(self, rng: jax.Array, batch: Batch) -> RegressionState:
         x = self._model_input(jnp.asarray(batch.cells[:1]), batch.grid)
-        params = self._init_params(rng, x, batch.grid)
+        params = jax.jit(self._init_params)(rng, x, batch.grid)
         F = self.n_features
         return RegressionState.create(
             apply_fn=self.net.apply,
