@@ -45,9 +45,20 @@ def _native_lib() -> Optional[ctypes.CDLL]:
 
 
 def emd2_uniform(M: np.ndarray, *, use_native: bool = True) -> float:
-    """min <P, M> s.t. P 1 = 1/n, P^T 1 = 1/m, P >= 0 (exact optimum)."""
+    """min <P, M> s.t. P 1 = 1/n, P^T 1 = 1/m, P >= 0 (exact optimum).
+
+    Solver order: square matrices use the Jonker-Volgenant assignment solver
+    (fastest; exact by Birkhoff); rectangular ones use the native C++
+    min-cost-flow, falling back to the HiGHS transportation LP.
+    """
     M = np.ascontiguousarray(M, dtype=np.float64)
     n, m = M.shape
+
+    if n == m:
+        from scipy.optimize import linear_sum_assignment
+
+        rows, cols = linear_sum_assignment(M)
+        return float(M[rows, cols].sum() / n)
 
     if use_native:
         lib = _native_lib()
@@ -56,13 +67,7 @@ def emd2_uniform(M: np.ndarray, *, use_native: bool = True) -> float:
             val = lib.emd_uniform(buf, n, m)
             if np.isfinite(val) and val >= 0:
                 return float(val)
-            # fall through to the scipy paths on solver failure
-
-    if n == m:
-        from scipy.optimize import linear_sum_assignment
-
-        rows, cols = linear_sum_assignment(M)
-        return float(M[rows, cols].sum() / n)
+            # fall through to the LP on solver failure
 
     return _transport_lp(M)
 

@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Generate the 45-shape obstacle dataset: one OpenFOAM case per shape with
+train/val/test split symlinks.  Counterpart of the reference's
+``scripts/generate-shapes.py``.
+
+``python scripts/generate-shapes.py <out_root> [--mock-solve] [--frames N]``
+
+With ``--mock-solve`` the cases are also "solved" with synthetic fields and
+converted to data.h5 (offline pipeline; for real physics run OpenFOAM via
+``solve-slurm.py`` or ``make of-solve`` instead).
+"""
+
+import argparse
+from pathlib import Path
+
+from _common import REPO_ROOT  # noqa: F401
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out_root")
+    ap.add_argument("--mock-solve", action="store_true")
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--n-subdomains", type=int, default=1)
+    args = ap.parse_args()
+
+    from generative_turbulence_tpu.toolchain.convert import (
+        add_grid_embedding,
+        foam_case_to_h5,
+    )
+    from generative_turbulence_tpu.toolchain.generate import (
+        ChannelConfig,
+        generate_case,
+        mock_solve,
+    )
+    from generative_turbulence_tpu.toolchain.shapes import (
+        dataset_split,
+        shape_boxes,
+        shape_catalog,
+        validate_shape,
+    )
+    from generative_turbulence_tpu.toolchain.analysis import (
+        dataset_stats,
+        homogeneous_regions,
+        max_mean_tke,
+        mean_flow,
+    )
+
+    root = Path(args.out_root)
+    cases_dir = root / "cases"
+    catalog = shape_catalog()
+    split = dataset_split(catalog)
+    chosen = [name for names in split.values() for name in names]
+
+    for name in chosen:
+        rects = catalog[name]
+        validate_shape(name, rects)
+        config = ChannelConfig(
+            holes=shape_boxes(rects),
+            scale=args.scale,
+            n_subdomains=args.n_subdomains,
+        )
+        case_dir = cases_dir / name
+        generate_case(case_dir, config)
+        print(f"generated {name}")
+        if args.mock_solve:
+            mock_solve(case_dir, config, n_frames=args.frames, seed=hash(name) % 2**31)
+            h5 = foam_case_to_h5(case_dir)
+            add_grid_embedding(h5, case_dir)
+            mean_flow(h5, discard_first_seconds=-1.0)
+            homogeneous_regions(h5, k=16, discard_first_seconds=-1.0)
+            max_mean_tke(h5, discard_first_seconds=-1.0)
+
+    # Split symlinks (same layout as the reference: root/{split}/{case}).
+    for split_name, names in split.items():
+        split_dir = root / split_name
+        split_dir.mkdir(parents=True, exist_ok=True)
+        for name in names:
+            link = split_dir / name
+            if not link.exists():
+                link.symlink_to(Path("..") / "cases" / name)
+
+    if args.mock_solve:
+        train_files = [root / "train" / n / "data.h5" for n in split["train"]]
+        dataset_stats(train_files, root / "stats.pickle")
+        print("wrote stats.pickle")
+
+
+if __name__ == "__main__":
+    main()
