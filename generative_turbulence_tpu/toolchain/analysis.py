@@ -201,7 +201,7 @@ def first_turbulent_frame(
 
     u_late = jnp.asarray(u_dense[late_idx])
     D_late, _, _, _ = log_tke_distance_matrix(u_late, u_late, jnp.asarray(u_mean), ops)
-    D_late = np.asarray(D_late)
+    D_late = np.array(D_late)  # writable copy (np.asarray of jax arrays is read-only)
     np.fill_diagonal(D_late, np.inf)
     limit = 2.0 * D_late.min(axis=1).max()
 

@@ -149,6 +149,10 @@ class TrainerConfig:
     # parallelism: data-parallel and spatial axes of the device mesh
     mesh_shape: Optional[Tuple[int, int]] = None  # (dp, sp); None = single device
     matmul_precision: str = "default"  # default | high | highest
+    # observability: capture a jax.profiler trace for steps [profile_start,
+    # profile_start + profile_steps) into out_dir/profile
+    profile_steps: int = 0
+    profile_start: int = 10
 
 
 @dataclasses.dataclass

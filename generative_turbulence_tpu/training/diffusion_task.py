@@ -112,7 +112,11 @@ class DiffusionTask:
     # ---- state -------------------------------------------------------------
 
     def init_state(self, rng: jax.Array, batch: Batch) -> TrainState:
-        x = self._model_input(jnp.asarray(batch.cells[:1]), batch.grid)
+        # No sharding constraint at init: the example batch of 1 need not be
+        # divisible by the dp axis.
+        x = self._model_input(
+            jnp.asarray(batch.cells[:1]), batch.grid, constrain=False
+        )
         t = jnp.zeros((1,), dtype=jnp.int32)
         # jit the init: eager flax init is pathologically slow on remote TPUs
         params = jax.jit(self.net.init)(rng, x, t, batch.grid.cell_types)
@@ -123,9 +127,12 @@ class DiffusionTask:
 
     # ---- jitted steps --------------------------------------------------------
 
-    def _model_input(self, cells: jnp.ndarray, grid: GridMap) -> jnp.ndarray:
+    def _model_input(
+        self, cells: jnp.ndarray, grid: GridMap, *, constrain: bool = True
+    ) -> jnp.ndarray:
         dense = embed_cells(cells, grid)
-        dense = constrain_dense(self.mesh, dense)
+        if constrain:
+            dense = constrain_dense(self.mesh, dense)
         return self.normalizer.normalize(dense)
 
     def _eps_fn(self, params, grid: GridMap):

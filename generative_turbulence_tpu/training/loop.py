@@ -72,18 +72,32 @@ class Trainer:
         stop = False
         last_val_metrics: Dict[str, float] = {}
         step = int(state.step)
+        profiling = False
+        step_tic = time.perf_counter()
 
         for epoch in range(tc.max_epochs):
             if stop:
                 break
             epoch_losses = []
             for batch in self.dm.train_batches():
+                if tc.profile_steps > 0 and step == tc.profile_start and not profiling:
+                    jax.profiler.start_trace(str(self.out_dir / "profile"))
+                    profiling = True
                 step_rng = jax.random.fold_in(rng, step)
                 state, metrics = self.task.training_step(state, batch, step_rng)
                 step += 1
+                if profiling and step >= tc.profile_start + tc.profile_steps:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    self.logger.console(f"profiler trace in {self.out_dir / 'profile'}")
                 loss = float(metrics["train/loss"])
                 epoch_losses.append(loss)
                 if step % tc.log_every_n_steps == 0:
+                    now = time.perf_counter()
+                    metrics = dict(metrics)
+                    metrics["steps_per_sec"] = tc.log_every_n_steps / (now - step_tic)
+                    step_tic = now
                     self.logger.log(
                         {k: float(v) for k, v in metrics.items()},
                         step=step,

@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--n-subdomains", type=int, default=1)
+    ap.add_argument(
+        "--limit", type=int, default=None,
+        help="generate only the first N cases per split (smoke runs)",
+    )
     args = ap.parse_args()
 
     from generative_turbulence_tpu.toolchain.convert import (
@@ -51,6 +55,8 @@ def main():
     cases_dir = root / "cases"
     catalog = shape_catalog()
     split = dataset_split(catalog)
+    if args.limit is not None:
+        split = {k: v[: args.limit] for k, v in split.items()}
     chosen = [name for names in split.values() for name in names]
 
     for name in chosen:
