@@ -126,6 +126,33 @@ def _render_spectrum_job(args):
     return plot_tke_spectrum(log_a, log_b, k, Path(out_file), title=title)
 
 
+def render_eval_plots(out_dir, store, collection, variables, phase: str, step: int):
+    """Render all diagnostics for one eval epoch: spectrum overlays from the
+    WassersteinTKE cache + y/z slice comparisons of the first case."""
+    from ..data.schema import CaseRepository
+    from .metrics import WassersteinTKE
+
+    cb = PlotCallback(Path(out_dir))
+    paths = []
+    tke = next((m for m in collection.metrics if isinstance(m, WassersteinTKE)), None)
+    if tke is not None:
+        paths += cb.render_spectra(tke, phase, step)
+
+    case_names = store.case_names
+    if case_names:
+        case = case_names[0]
+        repo = CaseRepository(
+            [collection.data_dir / case / "data.h5"], store.variables
+        )
+        meta = repo.read_metadata(0)
+        samples = store.load_samples(meta)
+        if samples.n_samples > 0:
+            n_data = len(repo.times[0])
+            data = repo.read(0, [n_data - 1])
+            paths += cb.render_slices(samples, data, variables, phase, step)
+    return paths
+
+
 class PlotCallback:
     """Render validation plots asynchronously after each eval epoch."""
 

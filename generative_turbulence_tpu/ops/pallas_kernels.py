@@ -59,13 +59,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, scale: float):
         acc, m_prev, l_prev = carry
         k = k_ref[0, pl.ds(i * block_k, block_k), :]
         v = v_ref[0, pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        # HIGHEST precision: full-f32 MXU passes to match the XLA reference
+        # (default bf16 passes cost ~1e-3 absolute error).
+        s = jnp.dot(
+            q, k.T,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (BQ, BK)
 
         m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m_prev - m_new)
         l_new = alpha * l_prev + p.sum(axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v, preferred_element_type=jnp.float32)
+        acc = acc * alpha + jnp.dot(
+            p, v,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return acc, m_new, l_new
 
     acc = jnp.zeros((block_q, d_out), dtype=jnp.float32)
@@ -179,7 +189,12 @@ def groupnorm_film_silu(
     if shift is None:
         shift = jnp.zeros((B, C), x.dtype)
 
-    slab_bytes = S * Cg * 4
+    # VMEM footprint must account for TPU tiling: the lane (last) dimension
+    # pads to 128, so a (S, Cg) slab with small Cg occupies S * 128 floats.
+    # With in+out buffers and pipeline double-buffering, stay well under the
+    # 16 MB VMEM budget or fall back to the XLA path (which fuses fine).
+    padded_cg = max(Cg, 128)
+    slab_bytes = S * padded_cg * 4 * 4  # in+out, double-buffered
     if slab_bytes > _VMEM_SLAB_LIMIT:
         return _unfused_gn_film_silu(x, gamma, beta, scale, shift, G, eps)
 

@@ -153,6 +153,7 @@ class TrainerConfig:
     # profile_start + profile_steps) into out_dir/profile
     profile_steps: int = 0
     profile_start: int = 10
+    render_plots: bool = True
 
 
 @dataclasses.dataclass

@@ -205,3 +205,13 @@ class DiffusionTask:
         store = self.val_sample_store if phase == "val" else self.test_sample_store
         metrics = self.val_metrics if phase == "val" else self.test_metrics
         return metrics.compute(store, stats, expensive_metrics=expensive)
+
+    def render_plots(self, out_dir, phase: str, step: int):
+        """Render TKE-spectrum + slice diagnostics after an eval epoch."""
+        from ..eval.plots import render_eval_plots
+
+        store = self.val_sample_store if phase == "val" else self.test_sample_store
+        collection = self.val_metrics if phase == "val" else self.test_metrics
+        return render_eval_plots(
+            out_dir, store, collection, self.variables, phase, step
+        )

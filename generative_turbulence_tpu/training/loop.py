@@ -144,6 +144,11 @@ class Trainer:
         metrics = self.task.on_eval_end(self.dm.stats, "val", expensive=expensive)
         metrics.update(_mean_over_batches(step_outputs))
         self.logger.log(metrics, step=int(state.step), epoch=epoch)
+        if self.config.trainer.render_plots and hasattr(self.task, "render_plots"):
+            try:
+                self.task.render_plots(self.out_dir, "val", int(state.step))
+            except Exception as e:  # plots must never kill a run
+                self.logger.console(f"plot rendering failed: {e}")
         summary = {
             k: v for k, v in metrics.items() if k.count("/") == 1
         }
