@@ -25,6 +25,15 @@ from ..data.variables import Variable, channel_slices
 
 class SampleStore:
     def __init__(self, samples_file: Path, variables: Sequence[Variable]):
+        # HDF5 writes are single-writer: in multi-host runs only process 0 may
+        # own a store (the reference hard-asserts non-distributed,
+        # metrics.py:41-43; we allow multi-host but guard the writer side).
+        import jax
+
+        if jax.process_count() > 1 and jax.process_index() != 0:
+            raise RuntimeError(
+                "SampleStore must only be created on process 0 in multi-host runs"
+            )
         self.samples_file = Path(samples_file)
         self.variables = tuple(variables)
         self.samples_file.parent.mkdir(parents=True, exist_ok=True)

@@ -191,11 +191,16 @@ class UNet(nn.Module):
     actfn: ActFn
     norm_type: str = "group"
     attention_kind: str = "full"
+    remat: bool = False
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-        block = lambda feats, name: ResnetBlock(  # noqa: E731
+        # Rematerialize ResnetBlocks during training: the level-0 activations
+        # at the shapes grid are ~750 MB each, and saving them all for the
+        # backward pass exceeds a v5e's HBM at the reference batch size.
+        block_cls = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        block = lambda feats, name: block_cls(  # noqa: E731
             feats, self.actfn, self.norm_type, self.dtype, name=name
         )
 

@@ -61,6 +61,7 @@ class DenoisingModel(nn.Module):
     time_embedding: str = "nyquist"
     attention_kind: str = "full"
     with_geometry_embedding: bool = False
+    remat: bool = False
     conditioning: Optional[Conditioning] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -126,6 +127,7 @@ class DenoisingModel(nn.Module):
             actfn=actfn,
             norm_type=self.norm_type,
             attention_kind=self.attention_kind,
+            remat=self.remat,
             dtype=self.dtype,
             name="u_net",
         )(h, c)

@@ -60,6 +60,7 @@ class ModelConfig:
     norm_type: str = "group"
     with_geometry_embedding: bool = False
     attention_kind: str = "full"
+    remat: bool = True  # rematerialize U-Net blocks in the backward pass
     sampler: str = "ddpm"  # or "ddim"
     ddim_steps: int = 50
     ddim_eta: float = 0.0
@@ -82,6 +83,10 @@ class ModelConfig:
 
     # numerics
     compute_dtype: str = "float32"  # or "bfloat16"
+    # gradient accumulation: optimizer updates every k micro-batches; the
+    # factory divides the data batch size by k so the effective batch (and LR
+    # schedule) is unchanged.  The OOM remedy for big grids on small chips.
+    accumulate_steps: int = 1
 
 
 MODEL_PRESETS: Dict[str, Dict[str, Any]] = {

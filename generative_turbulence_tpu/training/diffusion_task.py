@@ -74,6 +74,7 @@ class DiffusionTask:
             time_embedding=cfg.time_embedding,
             attention_kind=cfg.attention_kind,
             with_geometry_embedding=cfg.with_geometry_embedding,
+            remat=cfg.remat,
             conditioning=conditioning,
             dtype=dtype,
         )
@@ -94,6 +95,7 @@ class DiffusionTask:
             lr_decay=cfg.lr_decay,
             max_train_steps=max_train_steps,
             gradient_clip_val=gradient_clip_val,
+            accumulate_steps=cfg.accumulate_steps,
         )
 
         self.val_sample_store = SampleStore(

@@ -22,11 +22,16 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
     root = Path(dc.root)
     mesh = create_mesh(tc.mesh_shape)
 
+    # Gradient accumulation: feed micro-batches of batch/k; the optimizer
+    # updates every k micro-batches, keeping the effective batch unchanged.
+    k = max(1, mc.accumulate_steps)
+    micro_batch = max(1, dc.batch_size // k)
+
     if mc.name == "diffusion":
         dm = DataModule(
             root,
             discard_first_seconds=dc.discard_first_seconds,
-            batch_size=dc.batch_size,
+            batch_size=micro_batch,
             eval_batch_size=dc.eval_batch_size,
             val_samples=dc.val_samples,
             test_samples=dc.test_samples,
@@ -35,8 +40,11 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             seed=tc.seed,
         )
         dm.setup("fit")
-        # LR schedule length = epochs * batches/epoch (reference config.py:72-73)
-        max_train_steps = max(1, tc.max_epochs or mc.max_epochs) * dm.n_train_batches()
+        # LR schedule length = epochs * optimizer updates/epoch
+        # (reference config.py:72-73); with accumulation, updates = batches/k.
+        max_train_steps = max(
+            1, (tc.max_epochs or mc.max_epochs) * dm.n_train_batches() // k
+        )
         task = DiffusionTask(
             mc,
             dm.stats,
@@ -54,7 +62,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
         dm = SequenceDataModule(
             root,
             discard_first_seconds=dc.discard_first_seconds,
-            batch_size=dc.batch_size,
+            batch_size=micro_batch,
             seq_len=seq_len,
             eval_batch_size=dc.eval_batch_size,
             eval_seq_len=eval_seq_len,
@@ -66,7 +74,9 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             seed=tc.seed,
         )
         dm.setup("fit")
-        max_train_steps = max(1, tc.max_epochs or mc.max_epochs) * dm.n_train_batches()
+        max_train_steps = max(
+            1, (tc.max_epochs or mc.max_epochs) * dm.n_train_batches() // k
+        )
         task_cls = TFNetTask if mc.name == "tfnet" else DilResNetTask
         task = task_cls(
             mc,

@@ -37,6 +37,7 @@ def build_optimizer(
     lr_decay: Optional[str] = None,
     max_train_steps: int = 1,
     gradient_clip_val: Optional[float] = 0.1,
+    accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
     if lr_decay == "exp":
         lr = exp_decay_schedule(learning_rate, min_learning_rate, max(1, max_train_steps))
@@ -59,4 +60,7 @@ def build_optimizer(
     if gradient_clip_val is not None and gradient_clip_val > 0:
         parts.append(optax.clip_by_global_norm(gradient_clip_val))
     parts.append(opt)
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
+    return tx

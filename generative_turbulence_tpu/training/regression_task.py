@@ -89,6 +89,7 @@ class RegressionTaskBase:
             lr_decay=cfg.lr_decay,
             max_train_steps=max_train_steps,
             gradient_clip_val=gradient_clip_val,
+            accumulate_steps=cfg.accumulate_steps,
         )
 
         self.val_sample_stores = {
