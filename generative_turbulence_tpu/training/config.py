@@ -159,6 +159,10 @@ class TrainerConfig:
     profile_steps: int = 0
     profile_start: int = 10
     render_plots: bool = True
+    # resume: checkpoint dir (containing last/ + config.json) to restore from
+    resume_from: Optional[str] = None
+    # stop when the monitor hasn't improved for N validations (None = off)
+    early_stopping_patience: Optional[int] = None
 
 
 @dataclasses.dataclass

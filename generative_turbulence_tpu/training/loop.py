@@ -67,6 +67,16 @@ class Trainer:
             self.logger.console(
                 f"initialized model with {self.task.n_params(state):,} parameters"
             )
+            if tc.resume_from:
+                import numpy as np_
+
+                template = jax.tree_util.tree_map(np_.asarray, state)
+                state = CheckpointManager(Path(tc.resume_from)).restore(
+                    template, "last"
+                )
+                self.logger.console(
+                    f"resumed from {tc.resume_from} at step {int(state.step)}"
+                )
 
         start = time.time()
         stop = False
@@ -117,8 +127,21 @@ class Trainer:
                 val_metrics = self.validate(state, rng, expensive=final_epoch, epoch=epoch)
                 last_val_metrics = val_metrics
                 if self.monitor in val_metrics:
-                    self.ckpt.save_best(state, step, val_metrics[self.monitor])
+                    is_best = self.ckpt.save_best(
+                        state, step, val_metrics[self.monitor]
+                    )
                     self.logger.update_best(self.monitor, val_metrics, step)
+                    if is_best:
+                        self._vals_since_best = 0
+                    else:
+                        self._vals_since_best = getattr(self, "_vals_since_best", 0) + 1
+                        patience = tc.early_stopping_patience
+                        if patience is not None and self._vals_since_best >= patience:
+                            self.logger.console(
+                                f"early stopping: {self.monitor} stale for "
+                                f"{patience} validations"
+                            )
+                            stop = True
 
             if (epoch + 1) % tc.checkpoint_every_n_epochs == 0 or final_epoch:
                 self.ckpt.save_last(state, step)
