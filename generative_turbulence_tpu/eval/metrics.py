@@ -144,8 +144,11 @@ def _emd2_sq_job(D: np.ndarray) -> float:
 
 
 class WassersteinMetric:
-    def __init__(self, max_workers: Optional[int] = None):
+    def __init__(self, max_workers: Optional[int] = None, solver: str = "exact"):
+        """solver: 'exact' (host EMD, default) or 'sinkhorn' (on-device
+        entropic OT — the TPU fast path for large sample counts)."""
         self.max_workers = max_workers
+        self.solver = solver
 
     def is_expensive(self) -> bool:
         return True
@@ -167,8 +170,8 @@ class WassersteinMetric:
         K = len(region_counts)
 
         # Cost matrices are cheap (vectorized numpy); the EMDs are the hot part
-        # and run on a process pool, mirroring the reference's Deadpool usage.
-        jobs = {}
+        # and run on a process pool, mirroring the reference's Deadpool usage —
+        # or fully on-device via batched Sinkhorn when solver='sinkhorn'.
         matrices = {}
         for k in range(K):
             sel = assignments == k
@@ -182,18 +185,30 @@ class WassersteinMetric:
                     matrices[(i, j, k)] = dist[j]
 
         D = np.zeros((n, m, K))
-        n_workers = self.max_workers
-        if n_workers is None:
-            n_workers = min(32, os.cpu_count() or 1)
-        if n_workers > 1 and len(matrices) > 8:
-            with ProcessPoolExecutor(max_workers=n_workers) as pool:
-                for key, fut in [
-                    (key, pool.submit(_emd2_sq_job, mat)) for key, mat in matrices.items()
-                ]:
-                    D[key] = fut.result()
+        if self.solver == "sinkhorn":
+            from ..ops.sinkhorn import sinkhorn_emd2
+
+            # Regions have equal cell counts within a k, so batch per region.
+            for k in range(K):
+                batch = jnp.asarray(
+                    np.stack([matrices[(i, j, k)] for i in range(n) for j in range(m)])
+                )
+                vals = np.asarray(sinkhorn_emd2(batch**2, reg=0.05, n_iters=200))
+                D[:, :, k] = vals.reshape(n, m)
         else:
-            for key, mat in matrices.items():
-                D[key] = _emd2_sq_job(mat)
+            n_workers = self.max_workers
+            if n_workers is None:
+                n_workers = min(32, os.cpu_count() or 1)
+            if n_workers > 1 and len(matrices) > 8:
+                with ProcessPoolExecutor(max_workers=n_workers) as pool:
+                    for key, fut in [
+                        (key, pool.submit(_emd2_sq_job, mat))
+                        for key, mat in matrices.items()
+                    ]:
+                        D[key] = fut.result()
+            else:
+                for key, mat in matrices.items():
+                    D[key] = _emd2_sq_job(mat)
 
         D = np.sqrt(np.einsum("ijk,k->ij", D, region_weights))
         return {"wasserstein": wasserstein2(D)}

@@ -128,3 +128,15 @@ class TestMetrics:
         assert "val/tke" in values
         assert f"val/{meta.case_name}/tke" in values
         assert np.isfinite(values["val/tke"])
+
+
+class TestSinkhornSolverPath:
+    def test_wasserstein_metric_sinkhorn_close_to_exact(self, val_setup):
+        repo, meta, stats = val_setup
+        samples = repo.read(0, [2, 5])
+        data = repo.read(0, [3, 6])
+        exact = WassersteinMetric(max_workers=1)(samples, data, stats)
+        sink = WassersteinMetric(solver="sinkhorn")(samples, data, stats)
+        assert sink["wasserstein"] == pytest.approx(
+            exact["wasserstein"], rel=0.15
+        )

@@ -1,0 +1,41 @@
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from generative_turbulence_tpu.eval.emd import emd2_uniform
+from generative_turbulence_tpu.ops.sinkhorn import sinkhorn_emd2
+
+
+def test_sinkhorn_approaches_exact_emd():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(24, 3))
+    Y = rng.normal(size=(24, 3))
+    M = np.linalg.norm(X[:, None] - Y[None], axis=-1) ** 2
+
+    exact = emd2_uniform(M)
+    coarse = float(sinkhorn_emd2(jnp.asarray(M), reg=0.5, n_iters=200))
+    fine = float(sinkhorn_emd2(jnp.asarray(M), reg=0.02, n_iters=500))
+
+    # entropic value upper-bounds the exact one and tightens as reg -> 0
+    assert fine >= exact - 1e-3
+    assert abs(fine - exact) < abs(coarse - exact) + 1e-6
+    assert abs(fine - exact) / exact < 0.05
+
+
+def test_sinkhorn_batched_and_jittable():
+    rng = np.random.default_rng(1)
+    M = rng.uniform(size=(4, 10, 12)).astype(np.float32)
+    vals = jax.jit(lambda m: sinkhorn_emd2(m, reg=0.1, n_iters=100))(jnp.asarray(M))
+    assert vals.shape == (4,)
+    for i in range(4):
+        single = float(sinkhorn_emd2(jnp.asarray(M[i]), reg=0.1, n_iters=100))
+        assert float(vals[i]) == pytest.approx(single, rel=1e-5)
+
+
+def test_sinkhorn_identity_near_zero():
+    # identical point clouds: diagonal cost 0 -> transport cost ~ 0
+    M = 1.0 - np.eye(8)
+    val = float(sinkhorn_emd2(jnp.asarray(M), reg=0.01, n_iters=500))
+    assert val < 0.02
