@@ -133,3 +133,46 @@ def test_tfnet_forward():
     y = model.apply(params, x, cell_types)
     assert y.shape == (2, 16, 12, 10, 4)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+def test_geometry_embedding_path():
+    rng = jax.random.PRNGKey(0)
+    cond = Conditioning(cell_type_features=True, cell_type_embedding_dim=4)
+    model = DenoisingModel(
+        out_features=4,
+        timesteps=10,
+        dim=8,
+        u_net_levels=1,
+        conditioning=cond,
+        with_geometry_embedding=True,
+    )
+    x = jax.random.normal(rng, (2, 12, 8, 6, 4))
+    t = jnp.asarray([1, 2])
+    cell_types = jnp.zeros((12, 8, 6), dtype=jnp.int32)
+    params = model.init(rng, x, t, cell_types)
+    y = model.apply(params, x, t, cell_types)
+    assert y.shape == (2, 12, 8, 6, 4)
+    assert np.all(np.isfinite(np.asarray(y)))
+    # geometry embedding adds parameters
+    assert any("geometry" in k.lower() for k in params["params"].keys())
+
+
+def test_remat_equivalence():
+    rng = jax.random.PRNGKey(0)
+    kwargs = dict(out_features=4, timesteps=10, dim=8, u_net_levels=1)
+    m1 = DenoisingModel(**kwargs, remat=False)
+    m2 = DenoisingModel(**kwargs, remat=True)
+    x = jax.random.normal(rng, (1, 8, 6, 6, 4))
+    t = jnp.asarray([3])
+    params = m1.init(rng, x, t)
+    y1 = m1.apply(params, x, t)
+    # same params: remat only changes the compilation, so outputs agree up
+    # to float reassociation
+    y2 = m2.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-3, atol=1e-5)
+
+    g1 = jax.grad(lambda p: m1.apply(p, x, t).sum())(params)
+    g2 = jax.grad(lambda p: m2.apply(p, x, t).sum())(params)
+    l1 = jax.tree_util.tree_leaves(g1)[0]
+    l2 = jax.tree_util.tree_leaves(g2)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), rtol=1e-3, atol=1e-5)
