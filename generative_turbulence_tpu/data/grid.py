@@ -164,8 +164,5 @@ def masked_mean(
     """
     mask = grid.inside_mask[..., None].astype(x.dtype)
     total = jnp.sum(x * mask, axis=tuple(range(batch_ndim, x.ndim)))
-    count = jnp.sum(mask) * x.shape[-1] / mask.shape[-1]
-    # count = n_cells * F
-    n = grid.cell_idx.shape[0] * x.shape[-1]
-    del count
+    n = grid.cell_idx.shape[0] * x.shape[-1]  # in-domain cells x channels
     return total / n

@@ -75,15 +75,10 @@ def split_channels(x, variables: Sequence[Variable], *, axis: int = -1):
     """Split a stacked feature axis into a dict of per-variable arrays."""
     out = {}
     for v, sl in channel_slices(variables).items():
-        index = [slice(None)] * (axis % x.ndim) + [sl]
-        out[v] = x[tuple(index)] if axis % x.ndim == x.ndim - 1 else _take(x, sl, axis)
+        index = [slice(None)] * x.ndim
+        index[axis] = sl
+        out[v] = x[tuple(index)]
     return out
-
-
-def _take(x, sl: slice, axis: int):
-    index = [slice(None)] * x.ndim
-    index[axis] = sl
-    return x[tuple(index)]
 
 
 def stack_channels(fields: Dict[Variable, "object"], variables: Sequence[Variable], *, axis: int = -1):

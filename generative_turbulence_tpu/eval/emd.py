@@ -28,9 +28,29 @@ import numpy as np
 
 @functools.lru_cache(maxsize=1)
 def _native_lib() -> Optional[ctypes.CDLL]:
-    lib_path = Path(__file__).resolve().parents[2] / "native" / "libemd.so"
+    native_dir = Path(__file__).resolve().parents[2] / "native"
+    lib_path = native_dir / "libemd.so"
     if not lib_path.is_file():
-        return None
+        # Self-build on first use (the .so is a build artifact, not committed).
+        src = native_dir / "emd.cpp"
+        if not src.is_file():
+            return None
+        import shutil
+        import subprocess
+
+        cxx = shutil.which("g++") or shutil.which("c++")
+        if cxx is None:
+            return None
+        try:
+            subprocess.run(
+                [cxx, "-O3", "-std=c++17", "-fPIC", "-shared",
+                 "-o", str(lib_path), str(src)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except (subprocess.SubprocessError, OSError):
+            return None
     try:
         lib = ctypes.CDLL(str(lib_path))
         lib.emd_uniform.restype = ctypes.c_double

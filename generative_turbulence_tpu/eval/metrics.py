@@ -51,31 +51,12 @@ def _embed_u(data: CaseData) -> jnp.ndarray:
     return embed_cells(jnp.asarray(data.fields[Variable.U]), grid)
 
 
-@functools.lru_cache(maxsize=8)
-def _jitted_distance(ops_id: int):
-    # ops objects are process-wide singletons; cache the jitted fn per object
-    ops = _OPS_REGISTRY[ops_id]
-
-    @jax.jit
-    def fn(u_a, u_b, u_mean):
-        return log_tke_distance_matrix(u_a, u_b, u_mean, ops)
-
-    return fn
-
-
-_OPS_REGISTRY: Dict[int, SpectrumOps] = {}
-
-
-def _register_ops(ops: SpectrumOps) -> int:
-    key = id(ops)
-    _OPS_REGISTRY[key] = ops
-    return key
-
-
 class WassersteinTKE:
     def __init__(self, n_sphere: int = 5832, n_legendre: int = 64):
         self.ops = SpectrumOps.create(n_sphere=n_sphere, n_legendre=n_legendre)
-        self._ops_id = _register_ops(self.ops)
+        self._distance = jax.jit(
+            lambda a, b, m: log_tke_distance_matrix(a, b, m, self.ops)
+        )
         # region -> case -> (log_tke_sample, log_tke_data, k), kept for plots
         self.case_data: Dict[str, Dict[str, tuple]] = defaultdict(dict)
 
@@ -112,7 +93,7 @@ class WassersteinTKE:
         offset_multiplier = {"front": 3, "middle": 2, "back": 1}
         W = min(u_sample.shape[2], u_sample.shape[3])
         L = u_sample.shape[1]
-        distance = _jitted_distance(self._ops_id)
+        distance = self._distance
 
         D_regions = []
         out: Dict[str, float] = {}

@@ -102,7 +102,7 @@ def log_tke_distance_matrix(
     k (K,)).
     """
     assert u_a.shape[-1] == 3 and u_b.shape[-1] == 3 and u_mean.shape[-1] == 3
-    assert u_a.shape[-4:] == u_b.shape[-4:] == u_mean.shape[-4:] or True
+    assert u_a.shape[-4:-1] == u_b.shape[-4:-1] == u_mean.shape[-4:-1]
 
     spatial = u_a.shape[-4:-1]
     k = spectrum_wavenumbers(spatial, ops).astype(u_a.dtype)

@@ -54,6 +54,7 @@ class Trainer:
         self.ckpt = CheckpointManager(self.out_dir / "checkpoints", self.config.to_json())
         self.time_limit = parse_duration(tc.train_limit)
         self.monitor = task.monitor
+        self._vals_since_best = 0
 
     def fit(self, state=None) -> Dict[str, float]:
         tc = self.config.trainer
@@ -134,7 +135,7 @@ class Trainer:
                     if is_best:
                         self._vals_since_best = 0
                     else:
-                        self._vals_since_best = getattr(self, "_vals_since_best", 0) + 1
+                        self._vals_since_best += 1
                         patience = tc.early_stopping_patience
                         if patience is not None and self._vals_since_best >= patience:
                             self.logger.console(
