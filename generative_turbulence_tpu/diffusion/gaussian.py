@@ -292,10 +292,9 @@ class GaussianDiffusion:
         if start_from is None:
             x_t = jax.random.normal(rng_init, x_bcs.shape, dtype=x_bcs.dtype)
         else:
-            rng_i1, rng_i2 = jax.random.split(rng_init)
             t0 = jnp.full((B,), T - 1, dtype=jnp.int32)
             x_t = self.q_sample(
-                x_bcs, t0, jax.random.normal(rng_i1, x_bcs.shape, dtype=x_bcs.dtype)
+                x_bcs, t0, jax.random.normal(rng_init, x_bcs.shape, dtype=x_bcs.dtype)
             )
         if not self.noise_bcs:
             x_t = jnp.where(inside, x_t, x_bcs)
@@ -395,7 +394,7 @@ class GaussianDiffusion:
                 )
                 x_bc = jnp.where(tau_prev < 0, x_bcs, x_bc)
                 x_next = jnp.where(inside, x_next, x_bc)
-            elif not self.noise_bcs:
+            else:
                 x_next = jnp.where(inside, x_next, x_bcs)
             return x_next, None
 
