@@ -128,14 +128,29 @@ class CaseDataset:
 
 
 class GeometryPureBatches:
-    """Train batch sampler: shuffle within each case, never mix cases."""
+    """Train batch sampler: shuffle within each case, never mix cases.
 
-    def __init__(self, dataset, *, batch_size: int, shuffle: bool, seed: int = 0):
+    ``pad_to_full`` tops up each case's ragged last chunk with extra random
+    frames from the same case so every batch has the same static shape — on
+    TPU a differently-sized last batch would otherwise recompile the train
+    step (minutes per shape on remote-compile stacks).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        *,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        pad_to_full: bool = True,
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.epoch = 0
         self.seed = seed
+        self.pad_to_full = pad_to_full
 
     def __len__(self) -> int:
         return sum(
@@ -153,7 +168,13 @@ class GeometryPureBatches:
             if self.shuffle:
                 rng.shuffle(idxs)
             for i in range(0, len(idxs), self.batch_size):
-                batches.append(idxs[i : i + self.batch_size])
+                chunk = idxs[i : i + self.batch_size]
+                short = self.batch_size - len(chunk)
+                if short > 0 and self.pad_to_full:
+                    pool = [j for j in idxs if j not in chunk] or idxs
+                    extra = rng.choice(pool, size=short, replace=len(pool) < short)
+                    chunk = chunk + [int(j) for j in extra]
+                batches.append(chunk)
         if self.shuffle:
             rng.shuffle(batches)
         yield from batches

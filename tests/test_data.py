@@ -139,12 +139,24 @@ def test_samplers_never_mix_geometries(synthetic_root):
     assert len(ds) == 2 * 11
 
     by_file = ds.sample_idxs_by_file()
+    # default: ragged last chunks are padded to a constant batch size (static
+    # shapes for jit), so every index is seen and batches never mix cases
     sampler = GeometryPureBatches(ds, batch_size=4, shuffle=True, seed=1)
     seen = []
     for batch in sampler:
-        assert len(batch) <= 4
+        assert len(batch) == 4
         file_ids = {0 if idx in by_file[0] else 1 for idx in batch}
         assert len(file_ids) == 1
+        seen.extend(batch)
+    assert set(seen) == set(range(len(ds)))
+
+    # without padding the batches partition the dataset exactly
+    sampler = GeometryPureBatches(
+        ds, batch_size=4, shuffle=True, seed=1, pad_to_full=False
+    )
+    seen = []
+    for batch in sampler:
+        assert len(batch) <= 4
         seen.extend(batch)
     assert sorted(seen) == list(range(len(ds)))
 
