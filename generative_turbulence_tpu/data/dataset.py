@@ -202,6 +202,27 @@ class EvaluationBatches:
                 yield chosen[i : i + self.batch_size]
 
 
+def shard_files_by_host(files, enabled: bool):
+    """Round-robin the case files over hosts in multi-process runs.
+
+    Cases stay whole per host (the geometry-pure batch invariant maps cleanly
+    onto hosts); evaluation splits stay unsharded so metrics cover every case.
+    The multi-host data-loading strategy the single-process reference lacks.
+    """
+    if not enabled:
+        return files
+    import jax
+
+    n = jax.process_count()
+    if n <= 1:
+        return files
+    idx = jax.process_index()
+    sharded = files[idx::n]
+    if not sharded:  # more hosts than cases: wrap around
+        sharded = [files[idx % len(files)]]
+    return sharded
+
+
 def collate(data: CaseData, stats: FieldStats, variables: Sequence[Variable]) -> Batch:
     variables = tuple(variables)
     return Batch(
@@ -258,6 +279,7 @@ class DataModule:
         variables: Sequence[Variable] = (Variable.U, Variable.P),
         prefetch_size: int = 2,
         seed: int = 0,
+        shard_by_host: bool = False,
     ):
         self.root = Path(root)
         self.discard_first_seconds = discard_first_seconds
@@ -268,6 +290,7 @@ class DataModule:
         self.variables = tuple(variables)
         self.prefetch_size = prefetch_size
         self.seed = seed
+        self.shard_by_host = shard_by_host
 
         self.stats: Optional[FieldStats] = None
         self.train_dataset: Optional[CaseDataset] = None
@@ -288,6 +311,7 @@ class DataModule:
         files = find_data_files(self.root / phase)
         if not files:
             raise FileNotFoundError(f"No data.h5 files under {self.root / phase}")
+        files = shard_files_by_host(files, self.shard_by_host and phase == "train")
         return CaseDataset(
             CaseRepository(files, self.variables),
             stats=self.stats,

@@ -136,6 +136,8 @@ class DataConfig:
     test_samples: int = 16
     stride: int = 1  # sequence datasets only
     prefetch_size: int = 2
+    # multi-host runs: round-robin whole TRAIN cases across hosts
+    shard_by_host: bool = False
 
 
 @dataclasses.dataclass

@@ -38,6 +38,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             variables=variables,
             prefetch_size=dc.prefetch_size,
             seed=tc.seed,
+            shard_by_host=dc.shard_by_host,
         )
         dm.setup("fit")
         # LR schedule length = epochs * optimizer updates/epoch

@@ -222,3 +222,25 @@ def test_collate_jit_compatible(synthetic_root):
 
     val = dense_mean(jnp.asarray(batch.cells), batch.grid)
     assert np.isfinite(float(val))
+
+
+def test_shard_files_by_host_single_process(synthetic_root):
+    from generative_turbulence_tpu.data.dataset import shard_files_by_host
+
+    files = find_data_files(synthetic_root / "train")
+    # single process: passthrough either way
+    assert shard_files_by_host(files, True) == files
+    assert shard_files_by_host(files, False) == files
+
+
+def test_datamodule_shard_by_host_flag(synthetic_root):
+    dm = DataModule(
+        synthetic_root,
+        discard_first_seconds=-1.0,
+        variables=(Variable.U,),
+        shard_by_host=True,
+    )
+    dm.setup("fit")
+    # single-process run sees everything; eval splits never shard
+    assert dm.train_dataset.repo.n_cases == 2
+    assert dm.val_dataset.repo.n_cases == 1
