@@ -81,6 +81,10 @@ class ModelConfig:
     hidden_dim: int = 48
     training_noise_std: Optional[float] = 1e-3
 
+    # exponential moving average of parameters for sampling/eval (0 = off).
+    # An addition over the reference; standard practice for diffusion quality.
+    ema_decay: float = 0.0
+
     # numerics
     compute_dtype: str = "float32"  # or "bfloat16"
     # gradient accumulation: optimizer updates every k micro-batches; the

@@ -16,7 +16,14 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from flax import struct
 from flax.training.train_state import TrainState
+
+
+class DiffusionState(TrainState):
+    """TrainState + optional EMA parameters used for sampling."""
+
+    ema_params: Optional[dict] = struct.field(pytree_node=True, default=None)
 
 from ..data.dataset import Batch
 from ..data.grid import GridMap, embed_cells, gather_cells
@@ -113,7 +120,7 @@ class DiffusionTask:
 
     # ---- state -------------------------------------------------------------
 
-    def init_state(self, rng: jax.Array, batch: Batch) -> TrainState:
+    def init_state(self, rng: jax.Array, batch: Batch) -> DiffusionState:
         # No sharding constraint at init: the example batch of 1 need not be
         # divisible by the dp axis.
         x = self._model_input(
@@ -122,7 +129,10 @@ class DiffusionTask:
         t = jnp.zeros((1,), dtype=jnp.int32)
         # jit the init: eager flax init is pathologically slow on remote TPUs
         params = jax.jit(self.net.init)(rng, x, t, batch.grid.cell_types)
-        return TrainState.create(apply_fn=self.net.apply, params=params, tx=self.tx)
+        ema = params if self.cfg.ema_decay > 0 else None
+        return DiffusionState.create(
+            apply_fn=self.net.apply, params=params, tx=self.tx, ema_params=ema
+        )
 
     def n_params(self, state: TrainState) -> int:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
@@ -145,8 +155,10 @@ class DiffusionTask:
 
     @functools.cached_property
     def train_step(self):
+        ema_decay = self.cfg.ema_decay
+
         @functools.partial(jax.jit, donate_argnums=(0,))
-        def step(state: TrainState, cells: jnp.ndarray, grid: GridMap, rng: jax.Array):
+        def step(state: DiffusionState, cells: jnp.ndarray, grid: GridMap, rng: jax.Array):
             x = self._model_input(cells, grid)
 
             def loss_fn(params):
@@ -154,9 +166,20 @@ class DiffusionTask:
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             state = state.apply_gradients(grads=grads)
+            if ema_decay > 0 and state.ema_params is not None:
+                ema = jax.tree_util.tree_map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    state.ema_params,
+                    state.params,
+                )
+                state = state.replace(ema_params=ema)
             return state, {"train/loss": loss}
 
         return step
+
+    def _sampling_params(self, state):
+        ema = getattr(state, "ema_params", None)
+        return ema if ema is not None else state.params
 
     @functools.cached_property
     def _sample_fn(self):
@@ -189,10 +212,12 @@ class DiffusionTask:
         state, metrics = self.train_step(state, cells, grid, rng)
         return state, metrics
 
-    def sample(self, state: TrainState, batch: Batch, rng: jax.Array) -> np.ndarray:
-        """Generate denormalized samples as (B, n_cells, F) host array."""
+    def sample(self, state, batch: Batch, rng: jax.Array) -> np.ndarray:
+        """Generate denormalized samples as (B, n_cells, F) host array.
+
+        Uses the EMA parameters when ema_decay is enabled."""
         cells, grid = shard_batch_arrays(self.mesh, jnp.asarray(batch.cells), batch.grid)
-        return np.asarray(self._sample_fn(state.params, cells, grid, rng))
+        return np.asarray(self._sample_fn(self._sampling_params(state), cells, grid, rng))
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array, phase: str):
         store = self.val_sample_store if phase == "val" else self.test_sample_store

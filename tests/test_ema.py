@@ -1,0 +1,62 @@
+import numpy as np
+import pytest
+
+import jax
+
+
+def _task(synthetic_root, tmp_path, ema_decay):
+    from generative_turbulence_tpu.data import DataModule, Variable
+    from generative_turbulence_tpu.training import parse_cli_overrides
+    from generative_turbulence_tpu.training.diffusion_task import DiffusionTask
+
+    cfg = parse_cli_overrides(
+        [
+            "model=diffusion",
+            "model.dim=8",
+            "model.u_net_levels=1",
+            "model.timesteps=4",
+            f"model.ema_decay={ema_decay}",
+        ]
+    ).resolved()
+    dm = DataModule(
+        synthetic_root,
+        discard_first_seconds=-1.0,
+        batch_size=4,
+        eval_batch_size=4,
+        val_samples=4,
+        variables=(Variable.U, Variable.P),
+    )
+    dm.setup("fit")
+    batch = next(iter(dm.val_batches()))
+    task = DiffusionTask(cfg.model, dm.stats, synthetic_root / "val", tmp_path)
+    return task, batch
+
+
+def test_ema_tracks_params(synthetic_root, tmp_path):
+    task, batch = _task(synthetic_root, tmp_path, ema_decay=0.5)
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    assert state.ema_params is not None
+    p0 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+
+    state, _ = task.training_step(state, batch, jax.random.PRNGKey(1))
+    p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
+    e1 = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
+    # EMA after one step: 0.5 * p0 + 0.5 * p1
+    np.testing.assert_allclose(e1, 0.5 * p0 + 0.5 * p1, rtol=1e-5, atol=1e-7)
+    # sampling uses the EMA params
+    sp = task._sampling_params(state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(sp)[0]), e1, rtol=1e-6
+    )
+
+
+def test_ema_off_by_default(synthetic_root, tmp_path):
+    task, batch = _task(synthetic_root, tmp_path, ema_decay=0.0)
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    assert state.ema_params is None
+    state, _ = task.training_step(state, batch, jax.random.PRNGKey(1))
+    sp = task._sampling_params(state)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(sp)[0]),
+        np.asarray(jax.tree_util.tree_leaves(state.params)[0]),
+    )
