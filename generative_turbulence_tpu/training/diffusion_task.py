@@ -129,7 +129,13 @@ class DiffusionTask:
         t = jnp.zeros((1,), dtype=jnp.int32)
         # jit the init: eager flax init is pathologically slow on remote TPUs
         params = jax.jit(self.net.init)(rng, x, t, batch.grid.cell_types)
-        ema = params if self.cfg.ema_decay > 0 else None
+        # EMA must hold its OWN buffers: sharing with params would donate the
+        # same buffer twice in the donated train step.
+        ema = (
+            jax.tree_util.tree_map(jnp.copy, params)
+            if self.cfg.ema_decay > 0
+            else None
+        )
         return DiffusionState.create(
             apply_fn=self.net.apply, params=params, tx=self.tx, ema_params=ema
         )
