@@ -41,6 +41,7 @@ class ModelPrediction(NamedTuple):
     x_start: jnp.ndarray
     mean: jnp.ndarray
     log_var: jnp.ndarray
+    raw: jnp.ndarray  # the network head (epsilon or v, per parameterization)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -125,6 +126,9 @@ class GaussianDiffusion:
     learned_variances: bool = False
     elbo_weight: Optional[float] = None
     detach_elbo_mean: bool = True
+    # "epsilon" (reference behavior) or "v" (Salimans & Ho progressive
+    # distillation parameterization; an addition over the reference)
+    parameterization: str = "epsilon"
 
     @staticmethod
     def create(
@@ -137,7 +141,9 @@ class GaussianDiffusion:
         learned_variances: bool = False,
         elbo_weight: Optional[float] = None,
         detach_elbo_mean: bool = True,
+        parameterization: str = "epsilon",
     ) -> "GaussianDiffusion":
+        assert parameterization in ("epsilon", "v")
         return GaussianDiffusion(
             constants=DiffusionConstants.create(beta_schedule, timesteps),
             loss_type=loss_type,
@@ -146,6 +152,7 @@ class GaussianDiffusion:
             learned_variances=learned_variances,
             elbo_weight=elbo_weight,
             detach_elbo_mean=detach_elbo_mean,
+            parameterization=parameterization,
         )
 
     @property
@@ -185,6 +192,28 @@ class GaussianDiffusion:
         log_var = _bcast(c.posterior_log_var, t, x_t)
         return mean, log_var
 
+    # v-parameterization algebra: with x_t = a x0 + s eps (a = sqrt(acp),
+    # s = sqrt(1 - acp)) the target is v = a eps - s x0, and
+    # x0 = a x_t - s v,  eps = s x_t + a v.
+
+    def v_from_start_and_noise(self, x_start, t, noise):
+        c = self.constants
+        a = _bcast(c.sqrt_alphas_cumprod, t, x_start)
+        s = _bcast(c.sqrt_one_minus_alphas_cumprod, t, x_start)
+        return a * noise - s * x_start
+
+    def predict_start_from_v(self, x_t, t, v):
+        c = self.constants
+        a = _bcast(c.sqrt_alphas_cumprod, t, x_t)
+        s = _bcast(c.sqrt_one_minus_alphas_cumprod, t, x_t)
+        return a * x_t - s * v
+
+    def predict_noise_from_v(self, x_t, t, v):
+        c = self.constants
+        a = _bcast(c.sqrt_alphas_cumprod, t, x_t)
+        s = _bcast(c.sqrt_one_minus_alphas_cumprod, t, x_t)
+        return s * x_t + a * v
+
     def model_predictions(
         self,
         eps_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
@@ -195,7 +224,7 @@ class GaussianDiffusion:
         c = self.constants
         out = eps_fn(x_t, t)
         if self.learned_variances:
-            pred_noise, var_weights = jnp.split(out, 2, axis=-1)
+            raw, var_weights = jnp.split(out, 2, axis=-1)
             log_betas = _bcast(c.log_betas, t, var_weights)
             post_log_var = _bcast(c.posterior_log_var, t, var_weights)
             # sigmoid-lerp between beta and posterior log-variance
@@ -203,10 +232,15 @@ class GaussianDiffusion:
             w = jax.nn.sigmoid(var_weights)
             log_var = log_betas + w * (post_log_var - log_betas)
         else:
-            pred_noise = out
+            raw = out
             log_var = _bcast(c.log_betas, t, x_t)
 
-        x_start = self.predict_start_from_noise(x_t, t, pred_noise)
+        if self.parameterization == "v":
+            x_start = self.predict_start_from_v(x_t, t, raw)
+            pred_noise = self.predict_noise_from_v(x_t, t, raw)
+        else:
+            pred_noise = raw
+            x_start = self.predict_start_from_noise(x_t, t, pred_noise)
         if not self.noise_bcs:
             # Pin the prediction to the (clean) BC values carried by x_t.
             x_start = jnp.where(grid.inside_mask[..., None], x_start, x_t)
@@ -214,7 +248,7 @@ class GaussianDiffusion:
             x_start = jnp.clip(x_start, -1.0, 1.0)
 
         mean, _ = self.q_posterior(x_start, x_t, t)
-        return ModelPrediction(pred_noise, x_start, mean, log_var)
+        return ModelPrediction(pred_noise, x_start, mean, log_var, raw)
 
     # ---- training loss -----------------------------------------------------
 
@@ -234,10 +268,14 @@ class GaussianDiffusion:
 
         pred = self.model_predictions(eps_fn, x_t, t, grid)
 
+        if self.parameterization == "v":
+            target = self.v_from_start_and_noise(x_start, t, noise)
+        else:
+            target = noise
         if self.loss_type == "l2":
-            err = (pred.noise - noise) ** 2
+            err = (pred.raw - target) ** 2
         elif self.loss_type == "l1":
-            err = jnp.abs(pred.noise - noise)
+            err = jnp.abs(pred.raw - target)
         else:
             raise ValueError(f"Invalid loss type {self.loss_type!r}")
 

@@ -50,6 +50,7 @@ class ModelConfig:
     beta_schedule: str = "log-snr-linear"
     timesteps: int = 500
     loss: str = "l2"
+    parameterization: str = "epsilon"  # or "v"
     learned_variances: bool = False
     elbo_weight: Optional[float] = 0.1
     detach_elbo_mean: bool = True

@@ -94,6 +94,7 @@ class DiffusionTask:
             learned_variances=cfg.learned_variances,
             elbo_weight=cfg.elbo_weight if cfg.learned_variances else None,
             detach_elbo_mean=cfg.detach_elbo_mean,
+            parameterization=cfg.parameterization,
         )
         self.tx = build_optimizer(
             optimizer=cfg.optimizer,

@@ -82,3 +82,78 @@ def test_constants_dtype_and_shapes():
         assert leaf.shape == (17,)
         assert leaf.dtype == jnp.float32
     assert c.num_timesteps == 17
+
+
+class TestVParameterization:
+    def test_v_algebra_inversions(self, gd):
+        gdv = GaussianDiffusion.create(
+            beta_schedule="cosine", timesteps=32, parameterization="v"
+        )
+        rng = jax.random.PRNGKey(0)
+        x0 = jax.random.normal(rng, (2, 4, 4, 4, 3))
+        noise = jax.random.normal(jax.random.fold_in(rng, 1), x0.shape)
+        t = jnp.asarray([5, 25])
+
+        x_t = gdv.q_sample(x0, t, noise)
+        v = gdv.v_from_start_and_noise(x0, t, noise)
+        x0_back = gdv.predict_start_from_v(x_t, t, v)
+        eps_back = gdv.predict_noise_from_v(x_t, t, v)
+        np.testing.assert_allclose(np.asarray(x0_back), np.asarray(x0), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(eps_back), np.asarray(noise), rtol=1e-4, atol=1e-5)
+
+    def test_v_oracle_sampling(self, small_grid_v):
+        from generative_turbulence_tpu.data import embed_cells
+
+        gdv = GaussianDiffusion.create(
+            beta_schedule="log-snr-linear", timesteps=40, parameterization="v"
+        )
+        rng = jax.random.PRNGKey(0)
+        x0 = embed_cells(
+            jax.random.normal(rng, (1, small_grid_v.n_cells, 4)), small_grid_v
+        )
+
+        def oracle_v_fn(x_t, t):
+            # eps implied by the true x0, converted to the v target
+            eps = gdv.predict_noise_from_start(x_t, t, x0)
+            return gdv.v_from_start_and_noise(x0, t, eps)
+
+        sample = jax.jit(
+            lambda r: gdv.p_sample_loop(oracle_v_fn, x0, small_grid_v, r)
+        )(jax.random.PRNGKey(1))
+        inside = np.asarray(small_grid_v.inside_mask)[..., None]
+        err = np.abs(np.asarray(sample) - np.asarray(x0))
+        assert (err * inside).max() < 0.25
+        assert (err * (1 - inside)).max() == 0.0
+
+    def test_v_loss_uses_v_target(self, small_grid_v):
+        from generative_turbulence_tpu.data import embed_cells
+
+        gdv = GaussianDiffusion.create(
+            beta_schedule="log-snr-linear", timesteps=20, parameterization="v"
+        )
+        x0 = embed_cells(jnp.ones((2, small_grid_v.n_cells, 4)), small_grid_v)
+
+        # an oracle v-network gives ~zero loss; a zero network does not
+        def oracle_v_fn(x_t, t):
+            eps = gdv.predict_noise_from_start(x_t, t, x0)
+            return gdv.v_from_start_and_noise(x0, t, eps)
+
+        loss_oracle = float(
+            gdv.loss(oracle_v_fn, x0, small_grid_v, jax.random.PRNGKey(0))
+        )
+        loss_zero = float(
+            gdv.loss(lambda x, t: jnp.zeros_like(x), x0, small_grid_v, jax.random.PRNGKey(0))
+        )
+        assert loss_oracle < 1e-8
+        assert loss_zero > 0.1
+
+
+@pytest.fixture(scope="module")
+def small_grid_v(tmp_path_factory):
+    from generative_turbulence_tpu.data import GridMap, Variable
+    from generative_turbulence_tpu.data.schema import read_metadata
+    from generative_turbulence_tpu.data.synthetic import generate_case
+
+    case = tmp_path_factory.mktemp("vcase") / "case"
+    file = generate_case(case, cell_counts=(10, 8, 8), n_frames=2, seed=2)
+    return GridMap.from_metadata(read_metadata(file), (Variable.U, Variable.P))
