@@ -27,6 +27,9 @@ from .schema import CaseMetadata
 from .variables import Variable, total_dims
 
 
+_GRIDMAP_CACHE: dict = {}
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class GridMap:
@@ -53,7 +56,25 @@ class GridMap:
     n_features: int
 
     @staticmethod
-    def from_metadata(meta: CaseMetadata, variables: Sequence[Variable]) -> "GridMap":
+    def from_metadata(
+        meta: CaseMetadata, variables: Sequence[Variable], *, cached: bool = True
+    ) -> "GridMap":
+        """Build (or fetch) the device-resident index maps for a case.
+
+        Cached per (case file, variables): the arrays are static per geometry,
+        so re-uploading ~4 MB of indices every batch would waste host->device
+        bandwidth on every training step.
+        """
+        if cached:
+            key = (str(meta.file), tuple(v.key for v in variables))
+            hit = _GRIDMAP_CACHE.get(key)
+            if hit is not None:
+                return hit
+            grid = GridMap.from_metadata(meta, variables, cached=False)
+            if len(_GRIDMAP_CACHE) > 128:  # bound device memory across many cases
+                _GRIDMAP_CACHE.clear()
+            _GRIDMAP_CACHE[key] = grid
+            return grid
         d_idx, d_vals = meta.dirichlet_table(variables)
         return GridMap(
             cell_idx=jnp.asarray(meta.cell_idx, dtype=jnp.int32),

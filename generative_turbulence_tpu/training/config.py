@@ -157,7 +157,6 @@ class TrainerConfig:
     samples_root: Optional[str] = None  # defaults to out_dir/samples
     seed: int = 0
     checkpoint_every_n_epochs: int = 1
-    keep_checkpoints: int = 1
     # parallelism: data-parallel and spatial axes of the device mesh
     mesh_shape: Optional[Tuple[int, int]] = None  # (dp, sp); None = single device
     matmul_precision: str = "default"  # default | high | highest

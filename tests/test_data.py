@@ -244,3 +244,32 @@ def test_datamodule_shard_by_host_flag(synthetic_root):
     # single-process run sees everything; eval splits never shard
     assert dm.train_dataset.repo.n_cases == 2
     assert dm.val_dataset.repo.n_cases == 1
+
+
+def test_gridmap_cache_reuses_instances(synthetic_root):
+    files = find_data_files(synthetic_root / "train")
+    repo = CaseRepository(files, (Variable.U, Variable.P))
+    meta = repo.read_metadata(0)
+    g1 = GridMap.from_metadata(meta, (Variable.U, Variable.P))
+    g2 = GridMap.from_metadata(meta, (Variable.U, Variable.P))
+    assert g1 is g2  # cached: no re-upload of the index arrays
+    g3 = GridMap.from_metadata(meta, (Variable.U,))
+    assert g3 is not g1
+    g4 = GridMap.from_metadata(meta, (Variable.U, Variable.P), cached=False)
+    assert g4 is not g1
+
+
+def test_conditioning_cell_pos_features():
+    import jax
+    from generative_turbulence_tpu.models import Conditioning
+
+    cond = Conditioning(
+        cell_type_features=True, cell_type_embedding_dim=4, cell_pos_features=True
+    )
+    cell_types = jnp.zeros((6, 5, 4), dtype=jnp.int32)
+    params = cond.init(jax.random.PRNGKey(0), cell_types)
+    out = cond.apply(params, cell_types)
+    assert out.shape == (6, 5, 4, 7)  # 4 embedding + 3 position channels
+    assert cond.out_dim == 7
+    pos = np.asarray(out[..., 4:])
+    assert pos.min() == 0.0 and pos.max() == 1.0
