@@ -24,6 +24,15 @@ def main():
         "--sweep", action="append", default=[],
         help="key=v1,v2,... (repeatable; cartesian product)",
     )
+    ap.add_argument(
+        "--derive", action="append", default=[],
+        help=(
+            "key=expr computed per run; {other.key} placeholders substitute "
+            "swept values, then the expression is evaluated with math builtins "
+            "(the reference's `eval:` resolver), e.g. "
+            "--derive 'model.eval_unroll_steps=max(int(100/{data.stride}),1)'"
+        ),
+    )
     ap.add_argument("--slurm", action="store_true", help="emit an sbatch array instead")
     ap.add_argument("--time", default="96:00:00")
     ap.add_argument("--partition", default=None)
@@ -40,6 +49,16 @@ def main():
     runs = []
     for i, combo in enumerate(combos):
         overrides = [f"{k}={v}" for k, v in combo]
+        values = dict(combo)
+        for spec in args.derive:
+            key, _, expr = spec.partition("=")
+            for name, v in values.items():
+                expr = expr.replace("{" + name + "}", str(v))
+            import math
+
+            result = eval(expr, {"__builtins__": {}, "math": math,
+                                 "max": max, "min": min, "int": int, "float": float})
+            overrides.append(f"{key}={result}")
         tag = "-".join(v.replace("/", "_") for _, v in combo) or f"run{i}"
         out_dir = Path(args.out) / tag
         runs.append(overrides + list(args.rest) + [f"trainer.out_dir={out_dir}"])
@@ -61,7 +80,10 @@ eval "$(sed -n "${{SLURM_ARRAY_TASK_ID}}p" {lines_file.resolve()}/sweep-cmds.txt
 """
         (lines_file / "sweep.sbatch").write_text(script)
         print(f"wrote {lines_file}/sweep.sbatch ({len(runs)} runs)")
-        subprocess.run(["sbatch", str(lines_file / "sweep.sbatch")], check=True)
+        try:
+            subprocess.run(["sbatch", str(lines_file / "sweep.sbatch")], check=True)
+        except FileNotFoundError:
+            print("sbatch not available here; submit the file on the cluster")
         return
 
     for i, overrides in enumerate(runs):
