@@ -44,6 +44,17 @@ def _dense_field(data: CaseData, v: Variable) -> np.ndarray:
     return np.asarray(embed_cells(jnp.asarray(data.fields[v]), grid))
 
 
+def _use_style():
+    import matplotlib
+
+    matplotlib.use("Agg")
+    style = Path(__file__).parent / "turbulence.mplstyle"
+    if style.is_file():
+        import matplotlib.pyplot as plt
+
+        plt.style.use(str(style))
+
+
 def plot_slice(
     sample: CaseData,
     data: CaseData,
@@ -55,9 +66,7 @@ def plot_slice(
     """Mid-plane slice grid: rows = variables (channel norms), cols = (sample,
     data).  Derived variables are trimmed near the outlet where the padding
     cells distort the stencil."""
-    import matplotlib
-
-    matplotlib.use("Agg")
+    _use_style()
     import matplotlib.pyplot as plt
 
     n_vars = len(variables)
@@ -101,9 +110,7 @@ def plot_tke_spectrum(
     title: str = "",
 ):
     """Log-log E(k) overlay: individual sample spectra vs data spectra."""
-    import matplotlib
-
-    matplotlib.use("Agg")
+    _use_style()
     import matplotlib.pyplot as plt
 
     fig, ax = plt.subplots(figsize=(5, 4), constrained_layout=True)
