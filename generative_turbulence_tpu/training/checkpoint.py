@@ -68,7 +68,15 @@ class CheckpointManager:
         path = self.dir / which
         if not path.exists():
             raise FileNotFoundError(f"No checkpoint at {path}")
-        return self.checkpointer.restore(path, target=target)
+        try:
+            return self.checkpointer.restore(path, target=target)
+        except Exception as e:
+            raise RuntimeError(
+                f"Checkpoint at {path} does not match the current train-state "
+                "structure (it may have been written by an older framework "
+                "version, e.g. before EMA support). Re-train or restore with "
+                "a matching config."
+            ) from e
 
     @property
     def config_json(self) -> Optional[str]:
