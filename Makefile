@@ -9,6 +9,10 @@ CASE ?=
 test:
 	$(PYTHON) -m pytest tests/ -x -q
 
+# parallel run (pytest-xdist); the suite is compile-heavy, ~25 min sequential
+test-fast:
+	$(PYTHON) -m pytest tests/ -q -n 4
+
 bench:
 	$(PYTHON) bench.py
 
