@@ -43,13 +43,16 @@ class DiffusionTask:
         self,
         cfg: ModelConfig,
         stats: FieldStats,
-        data_dir: Path,
+        data_root: Path,
         samples_root: Path,
         *,
         max_train_steps: int = 1,
         gradient_clip_val: float = 0.1,
         mesh=None,
     ):
+        """``data_root`` is the dataset root containing the val/ and test/
+        split directories (each metric collection reads the ground truth of
+        its own split)."""
         self.cfg = cfg
         self.mesh = mesh
         self.variables = Variable.parse_tuple(cfg.variables)
@@ -112,11 +115,12 @@ class DiffusionTask:
         self.test_sample_store = SampleStore(
             Path(samples_root) / "test-samples.h5", self.variables
         )
+        data_root = Path(data_root)
         self.val_metrics = SampleMetricsCollection(
-            "val", data_dir, SampleMetricsCollection.default_metrics()
+            "val", data_root / "val", SampleMetricsCollection.default_metrics()
         )
         self.test_metrics = SampleMetricsCollection(
-            "test", data_dir, SampleMetricsCollection.default_metrics()
+            "test", data_root / "test", SampleMetricsCollection.default_metrics()
         )
 
     # ---- state -------------------------------------------------------------

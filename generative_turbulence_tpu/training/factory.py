@@ -49,7 +49,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
         task = DiffusionTask(
             mc,
             dm.stats,
-            data_dir=root / "val",
+            data_root=root,
             samples_root=Path(tc.samples_root),
             max_train_steps=max_train_steps,
             gradient_clip_val=tc.gradient_clip_val,
@@ -82,7 +82,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
         task = task_cls(
             mc,
             dm.stats,
-            data_dir=root / "val",
+            data_root=root,
             samples_root=Path(tc.samples_root),
             max_train_steps=max_train_steps,
             gradient_clip_val=tc.gradient_clip_val,

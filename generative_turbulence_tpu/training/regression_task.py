@@ -47,7 +47,7 @@ class RegressionTaskBase:
         self,
         cfg: ModelConfig,
         stats: FieldStats,
-        data_dir: Path,
+        data_root: Path,
         samples_root: Path,
         *,
         max_train_steps: int = 1,
@@ -100,15 +100,18 @@ class RegressionTaskBase:
             s: SampleStore(Path(samples_root) / f"test-{s}-samples.h5", self.variables)
             for s in self.sample_steps
         }
+        data_root = Path(data_root)
         self.val_metrics = {
             s: SampleMetricsCollection(
-                f"val/{s}", data_dir, SampleMetricsCollection.default_metrics()
+                f"val/{s}", data_root / "val", SampleMetricsCollection.default_metrics()
             )
             for s in self.sample_steps
         }
         self.test_metrics = {
             s: SampleMetricsCollection(
-                f"test/{s}", data_dir, SampleMetricsCollection.default_metrics()
+                f"test/{s}",
+                data_root / "test",
+                SampleMetricsCollection.default_metrics(),
             )
             for s in self.sample_steps
         }

@@ -28,7 +28,7 @@ def _task(synthetic_root, tmp_path, ema_decay):
     )
     dm.setup("fit")
     batch = next(iter(dm.val_batches()))
-    task = DiffusionTask(cfg.model, dm.stats, synthetic_root / "val", tmp_path)
+    task = DiffusionTask(cfg.model, dm.stats, synthetic_root, tmp_path)
     return task, batch
 
 

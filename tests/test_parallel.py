@@ -54,14 +54,14 @@ def test_data_parallel_training_matches_single_device(synthetic_root, tmp_path):
     rng = jax.random.PRNGKey(0)
 
     task_single = DiffusionTask(
-        cfg.model, dm.stats, synthetic_root / "val", tmp_path / "s1", mesh=None
+        cfg.model, dm.stats, synthetic_root, tmp_path / "s1", mesh=None
     )
     state1 = task_single.init_state(rng, batch)
     state1, m1 = task_single.training_step(state1, batch, jax.random.PRNGKey(7))
 
     mesh = create_mesh((4, 2))
     task_sharded = DiffusionTask(
-        cfg.model, dm.stats, synthetic_root / "val", tmp_path / "s2", mesh=mesh
+        cfg.model, dm.stats, synthetic_root, tmp_path / "s2", mesh=mesh
     )
     state2 = task_sharded.init_state(rng, batch)
     state2 = jax.device_put(state2, NamedSharding(mesh, P()))
@@ -103,7 +103,7 @@ def test_sharded_sampling_runs(synthetic_root, tmp_path):
 
     mesh = create_mesh((2, 2))
     task = DiffusionTask(
-        cfg.model, dm.stats, synthetic_root / "val", tmp_path / "s", mesh=mesh
+        cfg.model, dm.stats, synthetic_root, tmp_path / "s", mesh=mesh
     )
     state = task.init_state(jax.random.PRNGKey(0), batch)
     state = jax.device_put(state, NamedSharding(mesh, P()))

@@ -60,6 +60,8 @@ def tiny_config(synthetic_root, tmp_path):
             "trainer.max_epochs=1",
             "trainer.check_val_every_n_epoch=1",
             "trainer.log_every_n_steps=1",
+            "trainer.eval_testset=true",
+            "data.test_samples=2",
         ]
     ).resolved()
 
@@ -74,6 +76,8 @@ def test_diffusion_end_to_end(tiny_config, synthetic_root, tmp_path):
 
     # the monitored TKE metric was computed on the final validation
     assert "val/tke" in metrics
+    # the test phase ran too (trainer.eval_testset)
+    assert "test/tke" in metrics
     assert np.isfinite(metrics["val/tke"])
     # expensive metric ran on the final epoch
     assert "val/wasserstein" in metrics
