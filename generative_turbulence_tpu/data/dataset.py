@@ -194,6 +194,8 @@ class EvaluationBatches:
 
     def __iter__(self) -> Iterator[List[int]]:
         for idxs in self.dataset.sample_idxs_by_file():
+            if not len(idxs):  # every frame discarded (short case)
+                continue
             picks = np.round(
                 np.linspace(0, len(idxs) - 1, num=self.samples_per_file)
             ).astype(int)

@@ -3,9 +3,10 @@ for Wasserstein metrics.
 
 The exact EMD (``eval/emd.py``) runs on the host; this log-domain Sinkhorn is
 pure jax and jit/vmap-able, so large batches of point-cloud comparisons can
-stay on the TPU.  As reg -> 0 the value approaches the exact EMD from above;
-``sinkhorn_emd2`` uses the standard debiased estimate for tighter values at
-moderate regularization.
+stay on the TPU.  ``sinkhorn_emd2`` returns the plain entropic transport cost
+``<P, M>`` (no debiasing term): it approaches the exact EMD from above as
+reg -> 0, and at moderate regularization it overestimates — pick ``reg`` small
+enough for the tolerance at hand, or use the exact host solver.
 """
 
 from __future__ import annotations

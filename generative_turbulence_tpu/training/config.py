@@ -165,6 +165,11 @@ class TrainerConfig:
     profile_steps: int = 0
     profile_start: int = 10
     render_plots: bool = True
+    # experiment tracking: wandb sink in addition to the JSONL stream
+    # (reference: train.py:141 wandb.init's every run; here it is opt-in)
+    use_wandb: bool = False
+    wandb_project: str = "generative-turbulence-tpu"
+    wandb_run_name: Optional[str] = None
     # resume: checkpoint dir (containing last/ + config.json) to restore from
     resume_from: Optional[str] = None
     # stop when the monitor hasn't improved for N validations (None = off)

@@ -17,15 +17,32 @@ from pathlib import Path
 from typing import Dict, Optional
 
 
+def _is_main_process() -> bool:
+    """Process-0 check without forcing backend init in single-process runs."""
+    if "jax" not in sys.modules:
+        return True
+    import jax
+
+    try:
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
 class MetricLogger:
     def __init__(self, out_dir: Path, use_wandb: bool = False, wandb_kwargs=None):
         self.out_dir = Path(out_dir)
-        self.out_dir.mkdir(parents=True, exist_ok=True)
-        self.file = open(self.out_dir / "metrics.jsonl", "a", buffering=1)
+        # Multi-host runs: metrics are replicated across processes, so only
+        # process 0 writes (JSONL, summary, wandb); other ranks stay silent.
+        self.main = _is_main_process()
+        self.file = None
+        if self.main:
+            self.out_dir.mkdir(parents=True, exist_ok=True)
+            self.file = open(self.out_dir / "metrics.jsonl", "a", buffering=1)
         self.start_time = time.time()
 
         self.wandb = None
-        if use_wandb:
+        if use_wandb and self.main:
             try:
                 import wandb
 
@@ -46,12 +63,14 @@ class MetricLogger:
         for k, v in metrics.items():
             v = float(v)
             record[k] = v if math.isfinite(v) else None
-        self.file.write(json.dumps(record) + "\n")
+        if self.file is not None:
+            self.file.write(json.dumps(record) + "\n")
         if self.wandb is not None:
             self.wandb.log(metrics, step=step)
 
     def console(self, message: str):
-        print(message, file=sys.stderr, flush=True)
+        if self.main:
+            print(message, file=sys.stderr, flush=True)
 
     def update_best(self, monitor: str, metrics: Dict[str, float], step: int) -> bool:
         """Track the best epoch on ``monitor`` (lower is better); returns True
@@ -67,6 +86,8 @@ class MetricLogger:
         return False
 
     def _write_summary(self):
+        if not self.main:
+            return
         summary = {"best_step": self._best_step, **self._best}
         (self.out_dir / "summary.json").write_text(json.dumps(summary, indent=2))
         if self.wandb is not None:
@@ -74,6 +95,7 @@ class MetricLogger:
                 self.wandb.run.summary[k] = v
 
     def close(self):
-        self.file.close()
+        if self.file is not None:
+            self.file.close()
         if self.wandb is not None:
             self.wandb.finish()

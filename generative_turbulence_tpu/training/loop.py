@@ -44,13 +44,25 @@ def parse_duration(spec: Optional[str]) -> Optional[float]:
 
 
 class Trainer:
-    def __init__(self, config: Config, task, datamodule, *, use_wandb: bool = False):
+    def __init__(
+        self, config: Config, task, datamodule, *, use_wandb: Optional[bool] = None
+    ):
         self.config = config.resolved()
         self.task = task
         self.dm = datamodule
         tc = self.config.trainer
         self.out_dir = Path(tc.out_dir)
-        self.logger = MetricLogger(self.out_dir, use_wandb=use_wandb)
+        if use_wandb is None:
+            use_wandb = tc.use_wandb
+        self.logger = MetricLogger(
+            self.out_dir,
+            use_wandb=use_wandb,
+            wandb_kwargs={
+                "project": tc.wandb_project,
+                "name": tc.wandb_run_name,
+                "config": self.config.to_dict(),
+            },
+        )
         self.ckpt = CheckpointManager(self.out_dir / "checkpoints", self.config.to_json())
         self.time_limit = parse_duration(tc.train_limit)
         self.monitor = task.monitor

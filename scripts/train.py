@@ -23,6 +23,11 @@ faulthandler.enable()
 
 
 def main(argv=None):
+    # Multi-host bring-up must precede any backend use (no-op single-process).
+    from generative_turbulence_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()
+
     import jax
 
     from generative_turbulence_tpu.training import Trainer, parse_cli_overrides
