@@ -14,6 +14,7 @@ Both kernels run in interpret mode on CPU for tests.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -233,3 +234,244 @@ def _unfused_gn_film_silu(x, gamma, beta, scale, shift, G, eps):
     y = y * gamma + beta
     y = (scale[:, None, None, None, :] + 1.0) * y + shift[:, None, None, None, :]
     return (y * jax.nn.sigmoid(y)).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# 3x3x3 convolution (replicate padding) as blocked MXU matmuls
+# ---------------------------------------------------------------------------
+#
+# XLA's TPU conv emitter handles the full-resolution U-Net levels poorly at
+# this workload (profiled: "EmitAllBatchInSublanes", 4x5x3 output windows,
+# ~30% MXU on the 194x50x50 grid).  This kernel recasts the conv as dense
+# matmuls: one program per (batch, output x-plane) builds a z-im2col patch
+# matrix in VMEM — rows = (y, z) positions, columns = 3*C_in channels of the
+# three z-shifted input slabs — and accumulates nine (i, j)-shifted matmuls
+# against a (3*C_in, C_out) weight slice.  The contraction is dense (no
+# zero-padding inside K), so the MXU runs at full occupancy; operands are
+# bf16 with f32 accumulation, which matches XLA's default-precision conv
+# numerics on TPU.  Role parity: the cuDNN conv3d kernels the reference
+# leans on implicitly (SURVEY §2.9).
+
+
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _conv3x3_kernel(x_ref, w_ref, b_ref, o_ref, s1_ref, s2_ref, *, z_len: int):
+    """One (batch, output x-plane, kernel x-offset i) program.
+
+    The host has already built the z-im2col: x_ref is padded input x-plane
+    ``ix + i`` flattened to (1, 1, (Y+2)*z_len, 3C) with row index
+    y*z_len + z, so every j contribution is a contiguous, tile-aligned row
+    slice — three pure (Y*z_len, 3C) x (3C, F) matmuls.  The output block is
+    revisited across the (sequential, innermost) i dimension and serves as
+    the f32 accumulator, keeping a single input plane live in VMEM.
+
+    w_ref: (1, 3, 3C, F) — the i-th weight slab; b_ref: (1, F);
+    o_ref: (1, 1, Y*z_len, F) f32.
+    """
+    n_rows, n_f = o_ref.shape[-2], o_ref.shape[-1]
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        o_ref[0, 0] = jnp.broadcast_to(b_ref[0], (n_rows, n_f))
+
+    c_in = x_ref.shape[-1]
+    n_plane_rows = s1_ref.shape[0]
+
+    # Both the y-shift (j) and z-shift (k) are plain row offsets of the
+    # flattened (y*z_len + z) layout.  The k=1,2 shifts bounce through VMEM
+    # scratch ONCE per plane to canonicalize their sublane offsets (Mosaic
+    # cannot concat mismatched offsets); the j-shifts are z_len-row offsets,
+    # which stay tile-aligned, so the per-j patch is a free lane-concat of
+    # three aligned slices — a dense (n_rows, 3C) block feeding the MXU at
+    # K = 3C with no zero padding.
+    s1_ref[:] = x_ref[0, 0, 1 : 1 + n_plane_rows, :]
+    s2_ref[:] = x_ref[0, 0, 2 : 2 + n_plane_rows, :]
+
+    acc = o_ref[0, 0]
+    for j in range(3):
+        start = j * z_len
+        patches = jnp.concatenate(
+            [
+                x_ref[0, 0, start : start + n_rows, :],
+                s1_ref[start : start + n_rows, :],
+                s2_ref[start : start + n_rows, :],
+            ],
+            axis=-1,
+        )
+        acc += jnp.dot(
+            patches,
+            w_ref[0, j].reshape(3 * c_in, n_f),
+            preferred_element_type=jnp.float32,
+        )
+    o_ref[0, 0] = acc
+
+
+def _pad_flatten_kernel(x_ref, o_ref, *, z_len: int):
+    """Build one replicate-padded, row-flattened input plane.
+
+    x_ref: (1, 1, Y, Z, C) raw plane (x-edge replication happens in the
+    index map); o_ref: (1, 1, (Y+2)*z_len + 16, C) with row = y'*z_len + z',
+    where y'/z' are the padded coordinates.  All concat pieces are canonical
+    (offset-0): the z-edge row is produced by an f32 pltpu.roll instead of a
+    misaligned sublane slice.
+    """
+    v = x_ref[0, 0]  # (Y, Z, C)
+    Y, Z, C = v.shape
+    dtype = o_ref.dtype
+
+    # rolled[:, 0] = v[:, Z-1] — the far z edge, at canonical offset.
+    rolled = pltpu.roll(v.astype(jnp.float32), shift=1, axis=1).astype(dtype)
+    pieces = [v[:, :1].astype(dtype), v.astype(dtype), rolled[:, :1]]
+    fill = z_len - Z - 2
+    if fill:
+        pieces.append(jnp.zeros((Y, fill, C), dtype))
+    vp = jnp.concatenate(pieces, axis=1)  # (Y, z_len, C), z' = z + 1
+    full = jnp.concatenate([vp[:1], vp, vp[-1:]], axis=0)  # y' = y + 1
+    o_ref[0, 0, : (Y + 2) * z_len, :] = full.reshape((Y + 2) * z_len, C)
+    o_ref[0, 0, (Y + 2) * z_len :, :] = jnp.zeros((16, C), dtype)
+
+
+def _pad_flatten(x: jnp.ndarray, z_len: int, dtype) -> jnp.ndarray:
+    """(B, X, Y, Z, C) -> (B, X+2, (Y+2)*z_len + 16, C) padded flat planes."""
+    B, X, Y, Z, C = x.shape
+    rows = (Y + 2) * z_len + 16
+    return pl.pallas_call(
+        functools.partial(_pad_flatten_kernel, z_len=z_len),
+        out_shape=jax.ShapeDtypeStruct((B, X + 2, rows, C), dtype),
+        grid=(B, X + 2),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, Y, Z, C),
+                lambda bb, xi: (bb, jnp.clip(xi - 1, 0, X - 1), 0, 0, 0),
+            ),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rows, C), lambda bb, xi: (bb, xi, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(x)
+
+
+def _conv3d_3x3_pallas_raw(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, X, Y, Z, C) unpadded; w: (3, 3, 3, C, F); b: (F,).
+
+    Returns the replicate-padded SAME conv, (B, X, Y, Z, F) in x.dtype.
+    """
+    B, X, Y, Z, C = x.shape
+    F = w.shape[-1]
+    compute_dtype = jnp.bfloat16
+
+    # Rows per y (z_len >= Z + 2 so every z-shifted slice stays in-plane,
+    # 16-sublane aligned to keep bf16 row slices tile-friendly).
+    z_len = _round_up(Z + 2, 16)
+
+    # Replicate-pad by 1, zero-fill z to z_len, flatten rows to y*z_len + z —
+    # all inside a Pallas prep kernel (XLA's pads cost ~20x speed-of-light on
+    # this layout).  No im2col anywhere — the conv kernel folds all shifts
+    # into row offsets.
+    xflat = _pad_flatten(x, z_len, compute_dtype)
+
+    w2 = w.astype(compute_dtype)  # (3, 3, 3, C, F)
+    b2 = b.reshape(1, F).astype(jnp.float32)
+
+    rows = (Y + 2) * z_len + 16
+    n_out_rows = Y * z_len
+    grid = (B, X, 3)
+    out = pl.pallas_call(
+        functools.partial(_conv3x3_kernel, z_len=z_len),
+        out_shape=jax.ShapeDtypeStruct((B, X, n_out_rows, F), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, rows, C), lambda bb, ix, i: (bb, ix + i, 0, 0)),
+            pl.BlockSpec((1, 3, 3, C, F), lambda bb, ix, i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, F), lambda bb, ix, i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, n_out_rows, F), lambda bb, ix, i: (bb, ix, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(((Y + 2) * z_len, C), compute_dtype),
+            pltpu.VMEM(((Y + 2) * z_len, C), compute_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(xflat, w2, b2)
+    out = out.astype(x.dtype)
+    return out.reshape(B, X, Y, z_len, F)[:, :, :, :Z, :]
+
+
+def _conv3d_3x3_xla(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """XLA reference path (for the VJP and for CPU/fallback)."""
+    xe = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)), mode="edge")
+    y = jax.lax.conv_general_dilated(
+        xe,
+        w,
+        window_strides=(1, 1, 1),
+        padding="VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return y + b
+
+
+@jax.custom_vjp
+def conv3d_3x3(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Replicate-padded SAME 3x3x3 conv via the Pallas matmul kernel.
+
+    Forward runs the Pallas kernel (bf16 operands, f32 accumulation — XLA
+    default-precision conv numerics); the backward pass reuses XLA's conv
+    gradients, so training works everywhere the XLA path does.
+    """
+    return _conv3d_3x3_pallas_raw(x, w, b)
+
+
+def _conv3d_3x3_fwd(x, w, b):
+    return conv3d_3x3(x, w, b), (x, w)
+
+
+def _conv3d_3x3_bwd(res, g):
+    x, w = res
+    _, vjp = jax.vjp(lambda x_, w_, b_: _conv3d_3x3_xla(x_, w_, b_), x, w, jnp.zeros((w.shape[-1],), x.dtype))
+    return vjp(g)
+
+
+conv3d_3x3.defvjp(_conv3d_3x3_fwd, _conv3d_3x3_bwd)
+
+
+# Status (measured on TPU v5e, 8x194x50x50x64 -> 64, 2026-08-16): the Pallas
+# conv kernel alone is faster than XLA's conv emitter on-device (17.7 ms
+# kernel + 5.3 ms pad-prep vs ~23 ms fusion + ~10 ms conv+GN overhead in the
+# full model), but engaging it per-ConvBlock LOSES end-to-end (f32 fwd 287 ->
+# 348 ms; bf16 226 -> 300 ms): each call pays layout prep/copies and XLA
+# loses its conv+GN fusions.  It therefore ships OFF by default; the win
+# requires keeping activations in the padded-flat layout across a whole
+# ConvBlock chain (conv + GroupNorm + FiLM + SiLU fused), tracked in TODO.md.
+PALLAS_CONV_ENABLED = os.environ.get("GT_PALLAS_CONV") == "1"
+MIN_SPATIAL_FOR_PALLAS_CONV = 64 * 24 * 24
+MAX_CHANNELS_FOR_PALLAS_CONV = 160
+
+
+def conv3d_3x3_dispatch(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray],
+    enabled: Optional[bool] = None,
+) -> Optional[jnp.ndarray]:
+    """Run the Pallas conv if enabled and the workload fits its envelope."""
+    if enabled is None:
+        enabled = PALLAS_CONV_ENABLED
+    if not enabled or not pallas_available():
+        return None
+    B, X, Y, Z, C = x.shape
+    if X * Y * Z < MIN_SPATIAL_FOR_PALLAS_CONV:
+        return None
+    if C > MAX_CHANNELS_FOR_PALLAS_CONV or w.shape[-1] > MAX_CHANNELS_FOR_PALLAS_CONV:
+        return None
+    if b is None:
+        b = jnp.zeros((w.shape[-1],), x.dtype)
+    return conv3d_3x3(x, w, b)
