@@ -7,8 +7,13 @@ minimum feature diameter, distance from the channel walls) and a fixed
 27/9/9 train/val/test split by shape name.
 
 The shape family here is designed fresh (parametric generators) rather than
-copied: bars, crosses, L/T/U/H profiles, rings, slits, staircases, diamonds,
-and multi-block arrangements.
+copied: bars, crosses, L/T/U/H profiles, rings, slits, staircases, and
+multi-block arrangements, plus wall-attached families (floor/ceiling slabs,
+corner blocks, fins, wall-to-wall spans) matching the reference's
+distribution of snug-to-the-wall obstacles (``generate-shapes.py:74-120``).
+Validity follows the reference rule (``generate-shapes.py:160-170``): every
+rectangle side is either snug against a channel wall (distance 0) or at
+least ``MIN_WALL_DISTANCE`` cells away.
 """
 
 from __future__ import annotations
@@ -53,28 +58,45 @@ def _bar_shapes() -> Dict[str, List[Rect]]:
     for name, (h, w) in {
         "bar-wide": (12, 30),
         "bar-tall": (30, 12),
-        "bar-thin-wide": (8, 36),
-        "bar-thin-tall": (36, 8),
-        "square-small": (12, 12),
         "square-medium": (18, 18),
         "square-large": (24, 24),
-        "slab-flat": (8, 28),
-        "slab-upright": (28, 8),
     }.items():
         out[name] = [_centered(h, w)]
     return out
 
 
-def _offset_shapes() -> Dict[str, List[Rect]]:
-    out = {}
-    for name, (h, w, dy, dz) in {
-        "square-up": (14, 14, -8, 0),
-        "square-down": (14, 14, 8, 0),
-        "square-left": (14, 14, 0, -8),
-        "square-right": (14, 14, 0, 8),
-        "square-corner": (14, 14, -7, -7),
-    }.items():
-        out[name] = [_centered(h, w, dy, dz)]
+def _wall_shapes() -> Dict[str, List[Rect]]:
+    """Wall-attached families: floor/ceiling slabs (steps), corner blocks,
+    fins growing out of a wall, and wall-to-wall spans.  Fresh parametric
+    designs with the same *kind* coverage as the reference's steps, corners,
+    pillars and full-width bars (``generate-shapes.py:74-120``)."""
+    n = CROSS_SECTION
+    out: Dict[str, List[Rect]] = {}
+    # Steps: full-width slabs attached to the bottom / top wall.
+    out["floor-slab-low"] = [Rect(0, 0, 10, n)]
+    out["floor-slab-high"] = [Rect(0, 0, 20, n)]
+    out["ceiling-slab"] = [Rect(n - 12, 0, 12, n)]
+    # Corner blocks.
+    out["corner-single"] = [Rect(0, 0, 16, 16)]
+    out["corner-pair-opposite"] = [Rect(0, 0, 13, 13), Rect(n - 13, n - 13, 13, 13)]
+    out["corner-pair-adjacent"] = [Rect(0, 0, 13, 13), Rect(0, n - 13, 13, 13)]
+    out["corner-quad"] = [
+        Rect(0, 0, 11, 11),
+        Rect(0, n - 11, 11, 11),
+        Rect(n - 11, 0, 11, 11),
+        Rect(n - 11, n - 11, 11, 11),
+    ]
+    # Fins: obstacles growing out of one wall into the channel interior.
+    out["fin-bottom"] = [Rect(0, 20, 30, 8)]
+    out["fin-top"] = [Rect(n - 30, 20, 30, 8)]
+    out["fin-pair-facing"] = [Rect(0, 14, 26, 8), Rect(n - 26, 28, 26, 8)]
+    # Spans: bars connecting opposite walls.
+    out["span-bar"] = [Rect(0, 20, n, 10)]
+    out["span-bar-offset"] = [Rect(0, 30, n, 10)]
+    out["span-double"] = [Rect(0, 8, n, 8), Rect(0, 32, n, 8)]
+    # Platform (floor-attached, not full width) and a snug elbow.
+    out["ledge-platform"] = [Rect(0, 8, 12, 32)]
+    out["gallows"] = [Rect(0, 10, 34, 8), Rect(26, 10, 8, 28)]
     return out
 
 
@@ -106,16 +128,10 @@ def _compound_shapes() -> Dict[str, List[Rect]]:
     out["two-bars-horizontal"] = [Rect(12, 10, 8, 28), Rect(28, 10, 8, 28)]
     out["two-bars-vertical"] = [Rect(10, 12, 28, 8), Rect(10, 28, 28, 8)]
     out["two-squares-diagonal"] = [Rect(10, 10, 12, 12), Rect(26, 26, 12, 12)]
-    out["two-squares-antidiagonal"] = [Rect(10, 26, 12, 12), Rect(26, 10, 12, 12)]
     out["three-columns"] = [
         Rect(12, 9, 24, 7),
         Rect(12, 20, 24, 7),
         Rect(12, 31, 24, 7),
-    ]
-    out["three-rows"] = [
-        Rect(9, 12, 7, 24),
-        Rect(20, 12, 7, 24),
-        Rect(31, 12, 7, 24),
     ]
     out["staircase"] = [
         Rect(10, 10, 8, 10),
@@ -138,7 +154,6 @@ def _compound_shapes() -> Dict[str, List[Rect]]:
         Rect(26, 10, 8, 16),
     ]
     out["slit-horizontal"] = [Rect(12, 10, 10, 28), Rect(26, 10, 10, 28)]
-    out["slit-vertical"] = [Rect(10, 12, 28, 10), Rect(10, 26, 28, 10)]
     out["block-pair-wide"] = [Rect(17, 8, 14, 12), Rect(17, 28, 14, 12)]
     out["block-pair-tall"] = [Rect(8, 17, 12, 14), Rect(28, 17, 12, 14)]
     out["corner-blocks"] = [
@@ -148,7 +163,6 @@ def _compound_shapes() -> Dict[str, List[Rect]]:
         Rect(29, 29, 10, 10),
     ]
     out["cross-offset"] = [_centered(8, 26, dy=-6), _centered(26, 8, dz=6)]
-    out["notched-bar"] = [Rect(16, 8, 7, 32), Rect(23, 8, 7, 12), Rect(23, 28, 7, 12)]
     out["anvil"] = [Rect(12, 14, 10, 20), Rect(22, 18, 12, 12)]
     out["mushroom"] = [Rect(10, 12, 10, 24), Rect(20, 20, 14, 8)]
     out["podium"] = [Rect(24, 10, 10, 28), Rect(14, 17, 10, 14)]
@@ -159,19 +173,9 @@ def _compound_shapes() -> Dict[str, List[Rect]]:
 def shape_catalog() -> Dict[str, List[Rect]]:
     catalog: Dict[str, List[Rect]] = {}
     catalog.update(_bar_shapes())
-    catalog.update(_offset_shapes())
     catalog.update(_compound_shapes())
-    # widen the catalog to 45 with rotated/scaled variants
-    extra = {
-        "square-tiny-centered": [_centered(10, 10)],
-        "bar-low-wide": [Rect(28, 9, 10, 30)],
-        "bar-high-wide": [Rect(10, 9, 10, 30)],
-        "column-left": [Rect(10, 10, 28, 10)],
-        "column-right": [Rect(10, 28, 28, 10)],
-        "wide-u": [Rect(12, 10, 8, 28), Rect(20, 10, 14, 8), Rect(20, 30, 14, 8)],
-        "gate": [Rect(10, 12, 24, 8), Rect(10, 28, 24, 8), Rect(10, 20, 8, 8)],
-    }
-    catalog.update(extra)
+    catalog.update(_wall_shapes())
+    assert len(catalog) == 45, f"catalog must hold 45 shapes, has {len(catalog)}"
     return catalog
 
 
@@ -184,24 +188,25 @@ def shape_mask(rects: Sequence[Rect], n: int = CROSS_SECTION) -> np.ndarray:
 
 def validate_shape(name: str, rects: Sequence[Rect], n: int = CROSS_SECTION):
     """Dataset validity asserts (reference ``generate-shapes.py:155-178``):
-    bounded fill ratio, minimum feature diameter, wall clearance."""
+    bounded fill ratio, minimum feature diameter, and the snug-or-clear wall
+    rule — each rectangle side sits either flush against a channel wall
+    (distance 0, a wall-attached obstacle) or at least ``MIN_WALL_DISTANCE``
+    cells away (no sliver gaps blockMesh would turn into bad cells)."""
     mask = shape_mask(rects, n)
     fill = mask.mean()
     if fill > MAX_FILL_RATIO:
         raise ValueError(f"{name}: fill ratio {fill:.2f} > {MAX_FILL_RATIO}")
-    ys, zs = np.nonzero(mask)
-    if len(ys) == 0:
+    if not mask.any():
         raise ValueError(f"{name}: empty shape")
-    if (
-        ys.min() < MIN_WALL_DISTANCE
-        or zs.min() < MIN_WALL_DISTANCE
-        or ys.max() >= n - MIN_WALL_DISTANCE
-        or zs.max() >= n - MIN_WALL_DISTANCE
-    ):
-        raise ValueError(f"{name}: too close to channel walls")
     for r in rects:
         if min(r.h, r.w) < MIN_FEATURE:
             raise ValueError(f"{name}: feature smaller than {MIN_FEATURE} cells")
+        for dist in (r.y, n - (r.y + r.h), r.z, n - (r.z + r.w)):
+            if dist != 0 and dist < MIN_WALL_DISTANCE:
+                raise ValueError(
+                    f"{name}: rect {r} is {dist} cells from a wall "
+                    f"(must be snug or >= {MIN_WALL_DISTANCE})"
+                )
 
 
 def shape_boxes(
@@ -219,6 +224,8 @@ def shape_boxes(
 def dataset_split(names: Sequence[str]) -> Dict[str, List[str]]:
     """Deterministic 27/9/9 split by name order hash."""
     names = sorted(names)
+    if len(names) != 45:
+        raise ValueError(f"expected the 45-shape catalog, got {len(names)} names")
     rng = np.random.default_rng(2024)
     perm = rng.permutation(len(names))
     shuffled = [names[i] for i in perm]

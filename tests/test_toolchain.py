@@ -130,13 +130,43 @@ class TestMesher:
 class TestShapes:
     def test_catalog_valid_and_split(self):
         cat = shape_catalog()
-        assert len(cat) >= 45
+        assert len(cat) == 45
         for name, rects in cat.items():
             validate_shape(name, rects)
         split = dataset_split(cat)
         assert [len(split[k]) for k in ("train", "val", "test")] == [27, 9, 9]
         all_names = split["train"] + split["val"] + split["test"]
         assert len(set(all_names)) == 45
+
+    def test_wall_attached_families_present(self):
+        """The catalog must include snug-to-the-wall obstacles (reference
+        generate-shapes.py:74-120 has steps/corners/pillars/full-width bars);
+        every rect side is either flush (0) or >= MIN_WALL_DISTANCE away."""
+        from generative_turbulence_tpu.toolchain.shapes import (
+            CROSS_SECTION,
+            MIN_WALL_DISTANCE,
+        )
+
+        cat = shape_catalog()
+        n = CROSS_SECTION
+        wall_attached = set()
+        for name, rects in cat.items():
+            for r in rects:
+                dists = (r.y, n - (r.y + r.h), r.z, n - (r.z + r.w))
+                assert all(d == 0 or d >= MIN_WALL_DISTANCE for d in dists), name
+                if any(d == 0 for d in dists):
+                    wall_attached.add(name)
+        assert len(wall_attached) >= 12
+        # both snug-validator branches exercised: full-span + corner + fin
+        assert {"span-bar", "corner-single", "fin-bottom"} <= wall_attached
+
+    def test_wall_attached_shape_meshes(self):
+        cat = shape_catalog()
+        for name in ("floor-slab-low", "span-bar", "corner-quad"):
+            mesh = mesh_channel((72, 48, 48), shape_boxes(cat[name]))
+            assert len(mesh.blocks) > 0
+            assert len(mesh.boundaries["inlets"]) > 0
+            assert len(mesh.boundaries["outlets"]) > 0
 
     def test_boxes_extrusion(self):
         cat = shape_catalog()
