@@ -117,12 +117,20 @@ class Conv3d(nn.Module):
 def make_norm(norm_type: str, dtype=None) -> Callable[[], nn.Module]:
     """Norm factory mirroring the reference mapping (``ddpm.py:424-431``):
     instance -> GroupNorm(C groups), layer -> GroupNorm(1), group -> GroupNorm(8)."""
+    # epsilon matches torch.nn.GroupNorm's default (1e-5; flax defaults to
+    # 1e-6) so imported reference checkpoints reproduce bit-comparable stats.
     if norm_type == "instance":
-        return lambda: nn.GroupNorm(num_groups=None, group_size=1, dtype=dtype)
+        return lambda name=None: nn.GroupNorm(
+            num_groups=None, group_size=1, epsilon=1e-5, dtype=dtype, name=name
+        )
     if norm_type == "layer":
-        return lambda: nn.GroupNorm(num_groups=1, dtype=dtype)
+        return lambda name=None: nn.GroupNorm(
+            num_groups=1, epsilon=1e-5, dtype=dtype, name=name
+        )
     if norm_type == "group":
-        return lambda: nn.GroupNorm(num_groups=8, dtype=dtype)
+        return lambda name=None: nn.GroupNorm(
+            num_groups=8, epsilon=1e-5, dtype=dtype, name=name
+        )
     raise ValueError(f"Unknown norm type {norm_type!r}")
 
 
@@ -140,8 +148,8 @@ class ConvBlock(nn.Module):
         x: jnp.ndarray,
         scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> jnp.ndarray:
-        x = Conv3d(self.features, 3, dtype=self.dtype)(x)
-        x = make_norm(self.norm_type, dtype=self.dtype)()(x)
+        x = Conv3d(self.features, 3, dtype=self.dtype, name="conv")(x)
+        x = make_norm(self.norm_type, dtype=self.dtype)(name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             # FiLM vectors are (B, C); broadcast over the spatial axes.
@@ -164,16 +172,20 @@ class ResnetBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, c: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         scale_shift = None
         if c is not None:
-            proj = nn.Dense(2 * self.features, dtype=self.dtype)(c)
+            proj = nn.Dense(2 * self.features, dtype=self.dtype, name="film")(c)
             scale_shift = jnp.split(proj, 2, axis=-1)
 
-        h = ConvBlock(self.features, self.actfn, self.norm_type, self.dtype)(
-            x, scale_shift
-        )
-        h = ConvBlock(self.features, self.actfn, self.norm_type, self.dtype)(h)
+        h = ConvBlock(
+            self.features, self.actfn, self.norm_type, self.dtype, name="block1"
+        )(x, scale_shift)
+        h = ConvBlock(
+            self.features, self.actfn, self.norm_type, self.dtype, name="block2"
+        )(h)
 
         if x.shape[-1] != self.features:
-            x = nn.Conv(self.features, kernel_size=(1, 1, 1), dtype=self.dtype)(x)
+            x = nn.Conv(
+                self.features, kernel_size=(1, 1, 1), dtype=self.dtype, name="skip"
+            )(x)
         return h + x
 
 
@@ -192,7 +204,11 @@ class VoxelAttention(nn.Module):
         B, X, Y, Z, C = x.shape
         hidden = self.heads * self.dim_head
         qkv = nn.Conv(
-            3 * hidden, kernel_size=(1, 1, 1), use_bias=False, dtype=self.dtype
+            3 * hidden,
+            kernel_size=(1, 1, 1),
+            use_bias=False,
+            dtype=self.dtype,
+            name="to_qkv",
         )(x)
 
         if self.kind == "local":
@@ -212,7 +228,7 @@ class VoxelAttention(nn.Module):
                 raise ValueError(f"Unknown attention kind {self.kind!r}")
             out = out.transpose(0, 2, 1, 3).reshape(B, X, Y, Z, hidden)
 
-        return nn.Conv(C, kernel_size=(1, 1, 1), dtype=self.dtype)(out)
+        return nn.Conv(C, kernel_size=(1, 1, 1), dtype=self.dtype, name="to_out")(out)
 
     def _local(self, qkv: jnp.ndarray, spatial: Tuple[int, int, int]) -> jnp.ndarray:
         """Windowed attention with constant padding to a window multiple
@@ -272,7 +288,7 @@ class UNet(nn.Module):
 
         center_dim = self.dim * 2**self.levels
         x = block(center_dim, "center_in")(x, c)
-        h = make_norm(self.norm_type, dtype=self.dtype)()(x)
+        h = make_norm(self.norm_type, dtype=self.dtype)(name="center_norm")(x)
         x = x + VoxelAttention(kind=self.attention_kind, dtype=self.dtype, name="center_attention")(h)
         x = block(center_dim, "center_out")(x, c)
 

@@ -38,16 +38,26 @@ class GeometryEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, c_local: jnp.ndarray) -> jnp.ndarray:
-        # Front region containing the obstacle.
+        # Front region containing the obstacle.  All convs use VALID padding
+        # (torch Conv3d's default, ``ddpm.py:383-389``).
         n = min(50, c_local.shape[-4])
         x = c_local[..., :n, :, :, :]
         if x.ndim == 4:
             x = x[None]
-        x = nn.Conv(self.features, (5, 5, 5), strides=(5, 5, 5), dtype=self.dtype)(x)
+        x = nn.Conv(
+            self.features, (5, 5, 5), strides=(5, 5, 5), padding="VALID",
+            dtype=self.dtype, name="conv0",
+        )(x)
         x = self.actfn(x)
-        x = nn.Conv(self.features, (5, 5, 5), strides=(1, 1, 1), padding="SAME", dtype=self.dtype)(x)
+        x = nn.Conv(
+            self.features, (5, 5, 5), strides=(1, 1, 1), padding="VALID",
+            dtype=self.dtype, name="conv1",
+        )(x)
         x = self.actfn(x)
-        x = nn.Conv(self.features, (5, 5, 5), strides=(5, 5, 5), dtype=self.dtype)(x)
+        x = nn.Conv(
+            self.features, (5, 5, 5), strides=(5, 5, 5), padding="VALID",
+            dtype=self.dtype, name="conv2",
+        )(x)
         return x.mean(axis=(-4, -3, -2))
 
 
@@ -101,15 +111,19 @@ class DenoisingModel(nn.Module):
 
         c_parts = [t_emb]
         if c_global is not None:
-            c_parts.append(nn.Dense(self.dim, dtype=self.dtype)(c_global))
+            c_parts.append(
+                nn.Dense(self.dim, dtype=self.dtype, name="encode_c_global")(c_global)
+            )
         if self.with_geometry_embedding and c_local is not None:
-            g = GeometryEmbedding(self.dim, actfn, dtype=self.dtype)(c_local)
+            g = GeometryEmbedding(
+                self.dim, actfn, dtype=self.dtype, name="geometry_embedding"
+            )(c_local)
             c_parts.append(jnp.broadcast_to(g, (B, self.dim)))
         c = jnp.concatenate(c_parts, axis=-1)
         c_dim = c.shape[-1]
-        c = nn.Dense(4 * c_dim, dtype=self.dtype)(c)
+        c = nn.Dense(4 * c_dim, dtype=self.dtype, name="process_c_0")(c)
         c = actfn(c)
-        c = nn.Dense(c_dim, dtype=self.dtype)(c)
+        c = nn.Dense(c_dim, dtype=self.dtype, name="process_c_1")(c)
         c = actfn(c)
 
         # Encode inputs; concatenate encoded local conditioning channel-wise.

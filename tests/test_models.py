@@ -136,6 +136,8 @@ def test_tfnet_forward():
 
 
 def test_geometry_embedding_path():
+    # The geometry embedding's three VALID 5x5x5 convs (torch Conv3d default,
+    # ddpm.py:383-389) need a near-real-scale grid: >= ~(45, 45, 45).
     rng = jax.random.PRNGKey(0)
     cond = Conditioning(cell_type_features=True, cell_type_embedding_dim=4)
     model = DenoisingModel(
@@ -146,12 +148,12 @@ def test_geometry_embedding_path():
         conditioning=cond,
         with_geometry_embedding=True,
     )
-    x = jax.random.normal(rng, (2, 12, 8, 6, 4))
+    x = jax.random.normal(rng, (2, 50, 45, 45, 4))
     t = jnp.asarray([1, 2])
-    cell_types = jnp.zeros((12, 8, 6), dtype=jnp.int32)
+    cell_types = jnp.zeros((50, 45, 45), dtype=jnp.int32)
     params = model.init(rng, x, t, cell_types)
     y = model.apply(params, x, t, cell_types)
-    assert y.shape == (2, 12, 8, 6, 4)
+    assert y.shape == (2, 50, 45, 45, 4)
     assert np.all(np.isfinite(np.asarray(y)))
     # geometry embedding adds parameters
     assert any("geometry" in k.lower() for k in params["params"].keys())
