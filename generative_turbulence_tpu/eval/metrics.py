@@ -52,7 +52,7 @@ def _embed_u(data: CaseData) -> jnp.ndarray:
 
 
 class WassersteinTKE:
-    def __init__(self, n_sphere: int = 5832, n_legendre: int = 64):
+    def __init__(self, n_sphere: int = 5810, n_legendre: int = 64):
         self.ops = SpectrumOps.create(n_sphere=n_sphere, n_legendre=n_legendre)
         self._distance = jax.jit(
             lambda a, b, m: log_tke_distance_matrix(a, b, m, self.ops)

@@ -1,12 +1,16 @@
 """Quadrature rules used by the turbulence statistics.
 
 The reference integrates FFT shells with precomputed Lebedev grids (n=5810,
-``turbdiff/models/metrics.py:282-294``).  We use a Gauss-Legendre (polar) x
-uniform (azimuthal) product rule instead: it needs no coefficient tables, is
-exact for spherical harmonics up to degree min(2*n_theta-1, n_phi-1), and at
-the default resolution (54 x 108 = 5832 points) matches or exceeds the angular
-resolution of Lebedev-5810 for the smooth shell integrands involved.
-Weights are normalized to sum to 1, like the reference's.
+``turbdiff/models/metrics.py:282-294``).  We use a Fibonacci-lattice sphere
+rule instead: it needs no coefficient tables, its points are near-uniform on
+the sphere (like Lebedev's), and on the actual integrand — trilinearly
+interpolated log-power shells, which are only piecewise smooth, so
+polynomial-exactness arguments don't apply — it matches the reference's
+Lebedev-5810 spectra to <=1% max / ~0.2% mean at the same node count
+(measured against the reference implementation; see
+``tests/test_spectrum_parity.py``).  A Gauss-Legendre x uniform product rule
+at the same budget was 3x worse (3.1% max) because it clusters points at the
+poles.  Weights are equal and sum to 1, like the reference's.
 """
 
 from __future__ import annotations
@@ -27,24 +31,20 @@ def gauss_legendre(n: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 @functools.lru_cache(maxsize=None)
-def sphere_quadrature(n_points: int = 5832) -> Tuple[np.ndarray, np.ndarray]:
-    """Unit-sphere quadrature with ~``n_points`` nodes.
+def sphere_quadrature(n_points: int = 5810) -> Tuple[np.ndarray, np.ndarray]:
+    """Unit-sphere quadrature with ``n_points`` nodes (default matches the
+    reference's Lebedev-5810 budget).
 
     Returns (points (N, 3) float32, weights (N,) float32, weights sum to 1).
-    Product rule: cos(theta) at Gauss-Legendre nodes, phi uniform.
+    Fibonacci (golden-angle) lattice: z descends uniformly while the azimuth
+    advances by the golden angle, giving near-uniform area per node; even
+    moments integrate to ~1e-8 absolute error at n=5810 (f64).
     """
-    n_theta = max(2, int(math.sqrt(n_points / 2)))
-    n_phi = 2 * n_theta
+    i = np.arange(n_points, dtype=np.float64) + 0.5
+    phi = np.pi * (1.0 + math.sqrt(5.0)) * i
+    z = 1.0 - 2.0 * i / n_points
+    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
 
-    ct, wt = roots_legendre(n_theta)  # cos(theta) nodes on [-1, 1]
-    st = np.sqrt(np.maximum(1.0 - ct**2, 0.0))
-    phi = (np.arange(n_phi) + 0.5) * (2 * np.pi / n_phi)
-
-    x = st[:, None] * np.cos(phi)[None, :]
-    y = st[:, None] * np.sin(phi)[None, :]
-    z = np.broadcast_to(ct[:, None], x.shape)
-
-    points = np.stack([x, y, z], axis=-1).reshape(-1, 3)
-    weights = np.broadcast_to(wt[:, None] / (2.0 * n_phi), x.shape).reshape(-1)
-    # wt sums to 2 over [-1,1]; dividing by 2*n_phi normalizes the total to 1.
+    points = np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=-1)
+    weights = np.full(n_points, 1.0 / n_points)
     return points.astype(np.float32), weights.astype(np.float32)

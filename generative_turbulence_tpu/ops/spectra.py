@@ -38,7 +38,7 @@ class SpectrumOps:
     legendre_weights: jnp.ndarray  # (K,)
 
     @staticmethod
-    def create(n_sphere: int = 5832, n_legendre: int = 64) -> "SpectrumOps":
+    def create(n_sphere: int = 5810, n_legendre: int = 64) -> "SpectrumOps":
         p, w = sphere_quadrature(n_sphere)
         nodes, weights = gauss_legendre(n_legendre)
         return SpectrumOps(

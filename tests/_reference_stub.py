@@ -90,6 +90,9 @@ def load_reference_turbdiff():
     _stub("loky")
     _stub("hydra")
     _stub("omegaconf", DictConfig=dict)
+    _stub("ot")
+    _stub("torchmetrics")
+    _stub("deadpool")
 
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
