@@ -6,8 +6,9 @@ Design notes (TPU-first):
   ``padding_mode="replicate"`` (``turbdiff/models/ddpm.py:154-177``).
 - Down/upsampling uses the MXU-friendly align-corners trilinear resize from
   ``ops.interp`` with the floor-at-3 rule (``ddpm.py:351-372``).
-- GroupNorm + FiLM + activation are kept in one helper so the fused Pallas
-  kernel can replace them on TPU.
+- The ResnetBlock core can run as one Pallas flat-layout chain (opt-in
+  GT_FUSED_BLOCKS=1; measured slower than XLA's in-context conv fusion at
+  the shapes workload — see ops/pallas_kernels.py status notes).
 """
 
 from __future__ import annotations
@@ -20,7 +21,11 @@ import jax.numpy as jnp
 
 from ..ops.attention import efficient_linear_attention, multihead_attention
 from ..ops.interp import downsample_size, resize_trilinear
-from ..ops.pallas_kernels import conv3d_3x3_dispatch
+from ..ops.pallas_kernels import (
+    conv3d_3x3_dispatch,
+    fused_block_applicable,
+    fused_double_conv_block,
+)
 
 ActFn = Callable[[jnp.ndarray], jnp.ndarray]
 
@@ -142,14 +147,17 @@ class ConvBlock(nn.Module):
     norm_type: str = "group"
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
+    def setup(self):
+        self.conv = Conv3d(self.features, 3, dtype=self.dtype)
+        self.norm = make_norm(self.norm_type, dtype=self.dtype)()
+
     def __call__(
         self,
         x: jnp.ndarray,
         scale_shift: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     ) -> jnp.ndarray:
-        x = Conv3d(self.features, 3, dtype=self.dtype, name="conv")(x)
-        x = make_norm(self.norm_type, dtype=self.dtype)(name="norm")(x)
+        x = self.conv(x)
+        x = self.norm(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             # FiLM vectors are (B, C); broadcast over the spatial axes.
@@ -158,34 +166,67 @@ class ConvBlock(nn.Module):
             x = (scale + 1.0) * x + shift
         return self.actfn(x)
 
+    def fused_params(self, c_in: int):
+        """Expose (kernel, bias, gamma, beta) for the fused Pallas chain.
+
+        Dummy calls materialize/bind the child params without touching real
+        activations (27 voxels; XLA removes the dead compute)."""
+        dummy = jnp.zeros((1, 3, 3, 3, c_in), self.dtype or jnp.float32)
+        self.norm(self.conv(dummy))
+        cv = self.conv.variables["params"]
+        nv = self.norm.variables["params"]
+        return cv["kernel"], cv["bias"], nv["scale"], nv["bias"]
+
 
 class ResnetBlock(nn.Module):
     """Two conv blocks with FiLM conditioning on the first + 1x1 skip
-    (``ddpm.py:180-197``)."""
+    (``ddpm.py:180-197``).
+
+    With GT_FUSED_BLOCKS=1 the two ConvBlocks run as one Pallas flat-layout
+    chain at the full-resolution levels (``fused_double_conv_block``), which
+    keeps activations in the conv kernel's padded-flat layout between the
+    convs.  Measured end-to-end it currently loses to XLA's in-context conv
+    fusion (bf16 fwd 40.4 -> 36.9 samples/min), so it ships opt-in."""
 
     features: int
     actfn: ActFn
     norm_type: str = "group"
     dtype: Optional[jnp.dtype] = None
 
-    @nn.compact
+    def setup(self):
+        self.film = nn.Dense(2 * self.features, dtype=self.dtype)
+        self.block1 = ConvBlock(self.features, self.actfn, self.norm_type, self.dtype)
+        self.block2 = ConvBlock(self.features, self.actfn, self.norm_type, self.dtype)
+        self.skip = nn.Conv(self.features, kernel_size=(1, 1, 1), dtype=self.dtype)
+
+    def _num_groups(self, channels: int) -> int:
+        return {"group": 8, "layer": 1, "instance": channels}[self.norm_type]
+
     def __call__(self, x: jnp.ndarray, c: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         scale_shift = None
         if c is not None:
-            proj = nn.Dense(2 * self.features, dtype=self.dtype, name="film")(c)
+            proj = self.film(c)
             scale_shift = jnp.split(proj, 2, axis=-1)
 
-        h = ConvBlock(
-            self.features, self.actfn, self.norm_type, self.dtype, name="block1"
-        )(x, scale_shift)
-        h = ConvBlock(
-            self.features, self.actfn, self.norm_type, self.dtype, name="block2"
-        )(h)
+        use_fused = (
+            not self.is_initializing()
+            and self.actfn is nn.silu
+            and fused_block_applicable(x, x.shape[-1], self.features)
+        )
+        if use_fused:
+            k1, b1, g1, be1 = self.block1.fused_params(x.shape[-1])
+            k2, b2, g2, be2 = self.block2.fused_params(self.features)
+            scale, shift = scale_shift if scale_shift is not None else (None, None)
+            h = fused_double_conv_block(
+                x, k1, b1, g1, be1, scale, shift, k2, b2, g2, be2,
+                self._num_groups(self.features), 1e-5,
+            )
+        else:
+            h = self.block1(x, scale_shift)
+            h = self.block2(h)
 
         if x.shape[-1] != self.features:
-            x = nn.Conv(
-                self.features, kernel_size=(1, 1, 1), dtype=self.dtype, name="skip"
-            )(x)
+            x = self.skip(x)
         return h + x
 
 

@@ -4,11 +4,12 @@
   voxel tokens (replaces the reference's fused SDPA CUDA kernels,
   ``turbdiff/models/attention.py:9-15``).  Used automatically above a token
   threshold; the U-Net bottleneck (~200 tokens) stays on the fused XLA path.
-- ``groupnorm_film_silu``: fused GroupNorm + FiLM + SiLU for one HBM
-  round-trip when a (batch, group) slab fits VMEM (the ResnetBlock hot path,
-  reference ``ddpm.py:154-197``); falls back to the unfused path otherwise.
+- ``conv3d_3x3`` / ``fused_double_conv_block``: the ResnetBlock conv path
+  as MXU matmul kernels (reference ``ddpm.py:154-197``).  Both ship OPT-IN
+  with recorded end-to-end measurements showing XLA's in-context conv
+  fusion is currently the bar at this workload (see the status notes below).
 
-Both kernels run in interpret mode on CPU for tests.
+All kernels run in interpret mode on CPU for tests.
 """
 
 from __future__ import annotations
@@ -143,97 +144,6 @@ def flash_attention(
 
     out = out.reshape(B, H, Np, D)
     return out[:, :, :N, :]
-
-
-# ---------------------------------------------------------------------------
-# Fused GroupNorm + FiLM + SiLU
-# ---------------------------------------------------------------------------
-
-_VMEM_SLAB_LIMIT = 8 * 1024 * 1024  # bytes; conservative half of VMEM
-
-
-def _gn_film_silu_kernel(x_ref, gamma_ref, beta_ref, scale_ref, shift_ref, o_ref, *, eps: float):
-    """One (batch, group) slab: x_ref (S, Cg); affine/FiLM vectors (1, Cg)."""
-    x = x_ref[:].astype(jnp.float32)
-    mean = jnp.mean(x)
-    var = jnp.mean((x - mean) ** 2)
-    inv = jax.lax.rsqrt(var + eps)
-    y = (x - mean) * inv
-    y = y * gamma_ref[:] + beta_ref[:]
-    y = (scale_ref[:] + 1.0) * y + shift_ref[:]
-    o_ref[:] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
-
-
-def groupnorm_film_silu(
-    x: jnp.ndarray,
-    gamma: jnp.ndarray,
-    beta: jnp.ndarray,
-    scale: Optional[jnp.ndarray],
-    shift: Optional[jnp.ndarray],
-    *,
-    num_groups: int = 8,
-    eps: float = 1e-5,
-) -> jnp.ndarray:
-    """Fused GroupNorm(num_groups) + FiLM((scale+1)*y + shift) + SiLU.
-
-    x: (B, X, Y, Z, C); gamma/beta: (C,); scale/shift: (B, C) or None.
-    Falls back to the unfused jnp path when a slab exceeds the VMEM budget.
-    """
-    B, X, Y, Z, C = x.shape
-    G = num_groups
-    assert C % G == 0
-    Cg = C // G
-    S = X * Y * Z
-
-    if scale is None:
-        scale = jnp.zeros((B, C), x.dtype)
-    if shift is None:
-        shift = jnp.zeros((B, C), x.dtype)
-
-    # VMEM footprint must account for TPU tiling: the lane (last) dimension
-    # pads to 128, so a (S, Cg) slab with small Cg occupies S * 128 floats.
-    # With in+out buffers and pipeline double-buffering, stay well under the
-    # 16 MB VMEM budget or fall back to the XLA path (which fuses fine).
-    padded_cg = max(Cg, 128)
-    slab_bytes = S * padded_cg * 4 * 4  # in+out, double-buffered
-    if slab_bytes > _VMEM_SLAB_LIMIT:
-        return _unfused_gn_film_silu(x, gamma, beta, scale, shift, G, eps)
-
-    xg = x.reshape(B, S, G, Cg).transpose(0, 2, 1, 3).reshape(B * G, S, Cg)
-    gamma_g = gamma.reshape(G, 1, Cg)
-    beta_g = beta.reshape(G, 1, Cg)
-    gamma_bg = jnp.tile(gamma_g, (B, 1, 1))
-    beta_bg = jnp.tile(beta_g, (B, 1, 1))
-    scale_bg = scale.reshape(B, G, 1, Cg).reshape(B * G, 1, Cg)
-    shift_bg = shift.reshape(B, G, 1, Cg).reshape(B * G, 1, Cg)
-
-    out = pl.pallas_call(
-        functools.partial(_gn_film_silu_kernel, eps=eps),
-        out_shape=jax.ShapeDtypeStruct((B * G, S, Cg), x.dtype),
-        grid=(B * G,),
-        in_specs=[
-            pl.BlockSpec((1, S, Cg), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, Cg), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, Cg), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, Cg), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 1, Cg), lambda i: (i, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, S, Cg), lambda i: (i, 0, 0)),
-        interpret=_interpret(),
-    )(xg, gamma_bg, beta_bg, scale_bg, shift_bg)
-
-    return out.reshape(B, G, S, Cg).transpose(0, 2, 1, 3).reshape(B, X, Y, Z, C)
-
-
-def _unfused_gn_film_silu(x, gamma, beta, scale, shift, G, eps):
-    B, X, Y, Z, C = x.shape
-    xg = x.reshape(B, X, Y, Z, G, C // G).astype(jnp.float32)
-    mean = xg.mean(axis=(1, 2, 3, 5), keepdims=True)
-    var = xg.var(axis=(1, 2, 3, 5), keepdims=True)
-    y = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(B, X, Y, Z, C)
-    y = y * gamma + beta
-    y = (scale[:, None, None, None, :] + 1.0) * y + shift[:, None, None, None, :]
-    return (y * jax.nn.sigmoid(y)).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -450,7 +360,8 @@ conv3d_3x3.defvjp(_conv3d_3x3_fwd, _conv3d_3x3_bwd)
 # 348 ms; bf16 226 -> 300 ms): each call pays layout prep/copies and XLA
 # loses its conv+GN fusions.  It therefore ships OFF by default; the win
 # requires keeping activations in the padded-flat layout across a whole
-# ConvBlock chain (conv + GroupNorm + FiLM + SiLU fused), tracked in TODO.md.
+# ConvBlock chain (conv + GroupNorm + FiLM + SiLU fused) — which is what
+# ``fused_double_conv_block`` below does.
 PALLAS_CONV_ENABLED = os.environ.get("GT_PALLAS_CONV") == "1"
 MIN_SPATIAL_FOR_PALLAS_CONV = 64 * 24 * 24
 MAX_CHANNELS_FOR_PALLAS_CONV = 160
@@ -475,3 +386,355 @@ def conv3d_3x3_dispatch(
     if b is None:
         b = jnp.zeros((w.shape[-1],), x.dtype)
     return conv3d_3x3(x, w, b)
+
+
+# ---------------------------------------------------------------------------
+# Fused ResnetBlock core: conv -> GN -> FiLM -> SiLU -> conv -> GN -> SiLU
+# with activations held in the padded-flat layout between the convs
+# ---------------------------------------------------------------------------
+#
+# The per-ConvBlock Pallas conv loses end-to-end because every call pays
+# layout prep and XLA loses its conv+GN fusions (see the status note above).
+# This chain removes both costs: ``_pad_flatten`` runs ONCE per block, the
+# conv kernel emits masked per-plane channel moments alongside its bf16
+# flat output, a tiny XLA pass folds GroupNorm + FiLM into per-(B, F) affine
+# vectors, and ``_affine_silu_repad`` applies silu(a*x + b) WHILE writing the
+# next conv's padded-flat input — so level-0 activations never round-trip
+# through the standard layout between the two convs.  Role parity: the cuDNN
+# conv3d + GroupNorm modules of the reference ResnetBlock (ddpm.py:154-197).
+
+
+def _conv3x3_stats_kernel(
+    x_ref, w_ref, b_ref, o_ref, st_ref, acc_ref, s1_ref, s2_ref, *, z_len: int, n_z: int
+):
+    """Like ``_conv3x3_kernel`` but accumulates in f32 VMEM scratch, stores a
+    bf16 flat plane, and emits masked per-plane channel moments.
+
+    o_ref: (1, 1, Y*z_len, F) compute dtype; st_ref: (1, 1, 8, F) f32 with
+    row 0 = sum over valid rows, row 1 = sum of squares.
+    """
+    n_rows, n_f = o_ref.shape[-2], o_ref.shape[-1]
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_ref[:] = jnp.broadcast_to(b_ref[0], (n_rows, n_f))
+
+    c_in = x_ref.shape[-1]
+    n_plane_rows = s1_ref.shape[0]
+    s1_ref[:] = x_ref[0, 0, 1 : 1 + n_plane_rows, :]
+    s2_ref[:] = x_ref[0, 0, 2 : 2 + n_plane_rows, :]
+
+    acc = acc_ref[:]
+    for j in range(3):
+        start = j * z_len
+        patches = jnp.concatenate(
+            [
+                x_ref[0, 0, start : start + n_rows, :],
+                s1_ref[start : start + n_rows, :],
+                s2_ref[start : start + n_rows, :],
+            ],
+            axis=-1,
+        )
+        acc += jnp.dot(
+            patches,
+            w_ref[0, j].reshape(3 * c_in, n_f),
+            preferred_element_type=jnp.float32,
+        )
+    acc_ref[:] = acc
+
+    @pl.when(i == 2)
+    def _finish():
+        out = acc_ref[:]
+        o_ref[0, 0] = out.astype(o_ref.dtype)
+        # Mask the z >= Z garbage rows (row = y*z_len + z) out of the moments.
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, 1), 0)
+        valid = (row % z_len) < n_z
+        masked = jnp.where(valid, out, 0.0)
+        # Build the (8, F) stats tile by concat (Mosaic has no scatter).
+        s0 = jnp.sum(masked, axis=0, keepdims=True)
+        s1 = jnp.sum(masked * out, axis=0, keepdims=True)
+        st_ref[0, 0] = jnp.concatenate(
+            [s0, s1, jnp.zeros((6, n_f), jnp.float32)], axis=0
+        )
+
+
+def _conv3x3_flat(
+    xflat: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    spatial: Tuple[int, int, int],
+    z_len: int,
+    compute_dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Conv over padded-flat input planes -> (flat output, per-plane moments).
+
+    xflat: (B, X+2, (Y+2)*z_len + 16, C); returns ((B, X, Y*z_len, F) in
+    ``compute_dtype``, (B, X, 8, F) f32).
+    """
+    B = xflat.shape[0]
+    X, Y, Z = spatial
+    C = xflat.shape[-1]
+    F = w.shape[-1]
+    rows = (Y + 2) * z_len + 16
+    n_out_rows = Y * z_len
+
+    w2 = w.astype(compute_dtype)
+    b2 = b.reshape(1, F).astype(jnp.float32)
+
+    out, stats = pl.pallas_call(
+        functools.partial(_conv3x3_stats_kernel, z_len=z_len, n_z=Z),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, X, n_out_rows, F), compute_dtype),
+            jax.ShapeDtypeStruct((B, X, 8, F), jnp.float32),
+        ),
+        grid=(B, X, 3),
+        in_specs=[
+            pl.BlockSpec((1, 1, rows, C), lambda bb, ix, i: (bb, ix + i, 0, 0)),
+            pl.BlockSpec((1, 3, 3, C, F), lambda bb, ix, i: (i, 0, 0, 0, 0)),
+            pl.BlockSpec((1, F), lambda bb, ix, i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, n_out_rows, F), lambda bb, ix, i: (bb, ix, 0, 0)),
+            pl.BlockSpec((1, 1, 8, F), lambda bb, ix, i: (bb, ix, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n_out_rows, F), jnp.float32),
+            pltpu.VMEM(((Y + 2) * z_len, C), compute_dtype),
+            pltpu.VMEM(((Y + 2) * z_len, C), compute_dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(xflat, w2, b2)
+    return out, stats
+
+
+def _gn_affine(stats, gamma, beta, scale, shift, *, count, num_groups, eps):
+    """Fold GroupNorm + FiLM into per-(B, F) affine vectors a, b so the apply
+    kernel is a single silu(a*x + b): a = inv*gamma*(scale+1),
+    b = (beta - mean*inv*gamma)*(scale+1) + shift."""
+    B, _, _, F = stats.shape
+    G = num_groups
+    Cg = F // G
+    s = stats[:, :, 0, :].sum(axis=1)  # (B, F)
+    ss = stats[:, :, 1, :].sum(axis=1)
+    sg = s.reshape(B, G, Cg).sum(-1, keepdims=True)  # (B, G, 1)
+    ssg = ss.reshape(B, G, Cg).sum(-1, keepdims=True)
+    n = count * Cg
+    mean = sg / n
+    var = ssg / n - mean**2
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.broadcast_to(mean, (B, G, Cg)).reshape(B, F)
+    inv_c = jnp.broadcast_to(inv, (B, G, Cg)).reshape(B, F)
+    gamma = gamma.astype(jnp.float32)[None]
+    beta = beta.astype(jnp.float32)[None]
+    if scale is None:
+        film_scale = jnp.ones((B, F), jnp.float32)
+        film_shift = jnp.zeros((B, F), jnp.float32)
+    else:
+        film_scale = scale.astype(jnp.float32) + 1.0
+        film_shift = shift.astype(jnp.float32)
+    a = inv_c * gamma * film_scale
+    b = (beta - mean_c * inv_c * gamma) * film_scale + film_shift
+    return a, b
+
+
+def _affine_silu_repad_kernel(x_ref, a_ref, b_ref, o_ref, *, z_len: int, n_z: int):
+    """silu(a*x + b) on one flat plane, written as the next conv's
+    padded-flat input plane (same construction as ``_pad_flatten_kernel``)."""
+    n_rows, F = x_ref.shape[-2], x_ref.shape[-1]
+    Y = n_rows // z_len
+    y = x_ref[0, 0].astype(jnp.float32) * a_ref[0] + b_ref[0]
+    act32 = (y * jax.nn.sigmoid(y)).reshape(Y, z_len, F)
+    v = act32.astype(o_ref.dtype)
+    # Bring the real z-edge column (z = n_z - 1) to offset 0 for the concat.
+    # Roll in f32: Mosaic's rotate only supports 32-bit element types.
+    rolled = pltpu.roll(act32, shift=z_len - n_z + 1, axis=1).astype(o_ref.dtype)
+    pieces = [v[:, :1], v[:, :n_z], rolled[:, :1]]
+    fill = z_len - n_z - 2
+    if fill:
+        pieces.append(jnp.zeros((Y, fill, F), o_ref.dtype))
+    vp = jnp.concatenate(pieces, axis=1)  # (Y, z_len, F)
+    full = jnp.concatenate([vp[:1], vp, vp[-1:]], axis=0)  # (Y+2, z_len, F)
+    o_ref[0, 0, : (Y + 2) * z_len, :] = full.reshape((Y + 2) * z_len, F)
+    o_ref[0, 0, (Y + 2) * z_len :, :] = jnp.zeros((16, F), o_ref.dtype)
+
+
+def _affine_silu_std_kernel(x_ref, a_ref, b_ref, o_ref, *, z_len: int):
+    """silu(a*x + b) on one flat plane, written in standard (Y, Z, F) layout."""
+    n_rows, F = x_ref.shape[-2], x_ref.shape[-1]
+    Y = n_rows // z_len
+    Z = o_ref.shape[-2]
+    y = x_ref[0, 0].astype(jnp.float32) * a_ref[0] + b_ref[0]
+    act = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+    o_ref[0, 0] = act.reshape(Y, z_len, F)[:, :Z, :]
+
+
+def _affine_silu_repad(x, a, b, *, spatial, z_len, dtype):
+    B = x.shape[0]
+    X, Y, Z = spatial
+    F = x.shape[-1]
+    rows = (Y + 2) * z_len + 16
+    a3 = a[:, None, :].astype(jnp.float32)
+    b3 = b[:, None, :].astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_affine_silu_repad_kernel, z_len=z_len, n_z=Z),
+        out_shape=jax.ShapeDtypeStruct((B, X + 2, rows, F), dtype),
+        grid=(B, X + 2),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, Y * z_len, F),
+                lambda bb, xi: (bb, jnp.clip(xi - 1, 0, X - 1), 0, 0),
+            ),
+            pl.BlockSpec((1, 1, F), lambda bb, xi: (bb, 0, 0)),
+            pl.BlockSpec((1, 1, F), lambda bb, xi: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, rows, F), lambda bb, xi: (bb, xi, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(x, a3, b3)
+
+
+def _affine_silu_std(x, a, b, *, spatial, z_len, dtype):
+    B = x.shape[0]
+    X, Y, Z = spatial
+    F = x.shape[-1]
+    a3 = a[:, None, :].astype(jnp.float32)
+    b3 = b[:, None, :].astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_affine_silu_std_kernel, z_len=z_len),
+        out_shape=jax.ShapeDtypeStruct((B, X, Y, Z, F), dtype),
+        grid=(B, X),
+        in_specs=[
+            pl.BlockSpec((1, 1, Y * z_len, F), lambda bb, xi: (bb, xi, 0, 0)),
+            pl.BlockSpec((1, 1, F), lambda bb, xi: (bb, 0, 0)),
+            pl.BlockSpec((1, 1, F), lambda bb, xi: (bb, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, Y, Z, F), lambda bb, xi: (bb, xi, 0, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=_interpret(),
+    )(x, a3, b3)
+
+
+def _reference_double_conv(
+    x, w1, b1, gamma1, beta1, scale, shift, w2, b2, gamma2, beta2, *, num_groups, eps
+):
+    """XLA reference of the fused chain (used for the VJP and CPU fallback)."""
+
+    def conv_gn_silu(h, w, b, gamma, beta, sc, sh):
+        y = _conv3d_3x3_xla(h, w, b)
+        B, X, Y, Z, F = y.shape
+        G = num_groups
+        yg = y.astype(jnp.float32).reshape(B, X, Y, Z, G, F // G)
+        mean = yg.mean(axis=(1, 2, 3, 5), keepdims=True)
+        var = yg.var(axis=(1, 2, 3, 5), keepdims=True)
+        yn = ((yg - mean) * jax.lax.rsqrt(var + eps)).reshape(B, X, Y, Z, F)
+        yn = yn * gamma + beta
+        if sc is not None:
+            yn = (sc[:, None, None, None, :] + 1.0) * yn + sh[:, None, None, None, :]
+        return (yn * jax.nn.sigmoid(yn)).astype(x.dtype)
+
+    h = conv_gn_silu(x, w1, b1, gamma1, beta1, scale, shift)
+    return conv_gn_silu(h, w2, b2, gamma2, beta2, None, None)
+
+
+def _fused_double_conv_fwd_impl(
+    x, w1, b1, gamma1, beta1, scale, shift, w2, b2, gamma2, beta2, *, num_groups, eps
+):
+    B, X, Y, Z, C = x.shape
+    F1 = w1.shape[-1]
+    compute_dtype = jnp.bfloat16
+    z_len = _round_up(Z + 2, 16)
+    spatial = (X, Y, Z)
+    count = X * Y * Z
+
+    xflat = _pad_flatten(x, z_len, compute_dtype)
+    h1, st1 = _conv3x3_flat(
+        xflat, w1, b1, spatial=spatial, z_len=z_len, compute_dtype=compute_dtype
+    )
+    a1, bb1 = _gn_affine(
+        st1, gamma1, beta1, scale, shift, count=count, num_groups=num_groups, eps=eps
+    )
+    h1p = _affine_silu_repad(
+        h1, a1, bb1, spatial=spatial, z_len=z_len, dtype=compute_dtype
+    )
+    h2, st2 = _conv3x3_flat(
+        h1p, w2, b2, spatial=spatial, z_len=z_len, compute_dtype=compute_dtype
+    )
+    a2, bb2 = _gn_affine(
+        st2, gamma2, beta2, None, None, count=count, num_groups=num_groups, eps=eps
+    )
+    return _affine_silu_std(h2, a2, bb2, spatial=spatial, z_len=z_len, dtype=x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
+def fused_double_conv_block(
+    x, w1, b1, gamma1, beta1, scale, shift, w2, b2, gamma2, beta2,
+    num_groups: int = 8, eps: float = 1e-5,
+):
+    """The ResnetBlock core (both ConvBlocks, without the residual) as a
+    Pallas flat-layout chain: conv3x3 -> GroupNorm -> FiLM -> SiLU -> conv3x3
+    -> GroupNorm -> SiLU.  bf16 conv operands with f32 accumulation/stats
+    (XLA's default-precision TPU conv numerics).
+
+    x: (B, X, Y, Z, C); w*: (3, 3, 3, C_in, F); gamma/beta: (F,);
+    scale/shift: (B, F) FiLM vectors or None.  The backward pass runs the XLA
+    reference chain, so training works everywhere.
+    """
+    return _fused_double_conv_fwd_impl(
+        x, w1, b1, gamma1, beta1, scale, shift, w2, b2, gamma2, beta2,
+        num_groups=num_groups, eps=eps,
+    )
+
+
+def _fused_double_conv_fwd(x, w1, b1, g1, be1, sc, sh, w2, b2, g2, be2, num_groups, eps):
+    out = fused_double_conv_block(
+        x, w1, b1, g1, be1, sc, sh, w2, b2, g2, be2, num_groups, eps
+    )
+    return out, (x, w1, b1, g1, be1, sc, sh, w2, b2, g2, be2)
+
+
+def _fused_double_conv_bwd(num_groups, eps, res, g):
+    x, w1, b1, g1, be1, sc, sh, w2, b2, g2, be2 = res
+    diff = (x, w1, b1, g1, be1, sc, sh, w2, b2, g2, be2)
+    _, vjp = jax.vjp(
+        lambda *args: _reference_double_conv(*args, num_groups=num_groups, eps=eps),
+        *diff,
+    )
+    return vjp(g)
+
+
+fused_double_conv_block.defvjp(_fused_double_conv_fwd, _fused_double_conv_bwd)
+
+
+# Status (measured on TPU v5e, 2026-08-16, batch 8 at the shapes grid):
+# standalone at the down_0 shape the chain is ~6% faster than the unfused XLA
+# reference (58.5 vs 62 ms device time after subtracting the ~28 ms axon
+# dispatch overhead), but END-TO-END the bf16 model fwd REGRESSES with it
+# (ddim50 40.4 -> 36.9 samples/min; f32 32.0 -> 30.4): inside the full graph
+# XLA's conv emitter + op fusion already avoid the layout round-trips, while
+# the chain pays ~28% z_len row padding, halo-plane duplication and separate
+# pad/repad passes.  Ships OFF (opt-in GT_FUSED_BLOCKS=1) — the honest
+# conclusion is that XLA's in-context conv path is the bar and these
+# flat-layout kernels don't clear it at this workload.
+FUSED_BLOCKS_ENABLED = os.environ.get("GT_FUSED_BLOCKS", "0") == "1"
+MIN_SPATIAL_FOR_FUSED_BLOCK = 64 * 24 * 24
+MAX_CHANNELS_FOR_FUSED_BLOCK = 160
+
+
+def fused_block_applicable(x: jnp.ndarray, c_in: int, features: int) -> bool:
+    """Envelope check for ``fused_double_conv_block`` (mirrors the conv
+    dispatch: big grids, VMEM-bounded channel counts, TPU only)."""
+    if not FUSED_BLOCKS_ENABLED or not pallas_available():
+        return False
+    B, X, Y, Z, _ = x.shape
+    if X * Y * Z < MIN_SPATIAL_FOR_FUSED_BLOCK:
+        return False
+    return max(c_in, features) <= MAX_CHANNELS_FOR_FUSED_BLOCK

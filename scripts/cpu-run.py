@@ -1,0 +1,23 @@
+#!/usr/bin/env python
+"""Run another script with JAX forced onto CPU.
+
+    python scripts/cpu-run.py scripts/generate-shapes.py <args...>
+
+The container's sitecustomize re-exports ``JAX_PLATFORMS=axon`` at
+interpreter startup, so a shell-level ``JAX_PLATFORMS=cpu python ...`` prefix
+is silently overwritten and the process still grabs the (single) TPU chip.
+The env var must be overwritten from WITHIN the interpreter before the first
+jax import — which is all this wrapper does.
+"""
+
+import os
+import runpy
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+if len(sys.argv) < 2:
+    raise SystemExit(__doc__)
+target = sys.argv[1]
+sys.argv = sys.argv[1:]
+runpy.run_path(target, run_name="__main__")
