@@ -66,6 +66,16 @@ class Batch:
     def batch_size(self) -> int:
         return self.cells.shape[0]
 
+    def device_put(self) -> "Batch":
+        """Start the host-to-device transfer of the bulk array eagerly.
+
+        Called from the prefetch thread, this double-buffers H2D: the next
+        batch's transfer rides alongside the current step's compute instead
+        of serializing into the jitted call's argument upload."""
+        import jax
+
+        return dataclasses.replace(self, cells=jax.device_put(self.cells))
+
 
 class CaseDataset:
     """Map-style dataset over the concatenated valid frames of all cases.
@@ -237,11 +247,13 @@ def collate(data: CaseData, stats: FieldStats, variables: Sequence[Variable]) ->
     )
 
 
-def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
+def prefetch(iterator: Iterator, size: int = 2, transform=None) -> Iterator:
     """Run ``iterator`` in a host thread, keeping ``size`` items ready.
 
     Overlaps HDF5 I/O and host collation with device compute — the TPU-side
-    replacement for torch DataLoader worker processes.
+    replacement for torch DataLoader worker processes.  ``transform`` runs in
+    the producer thread (e.g. ``Batch.device_put`` so the host-to-device
+    transfer of the next batch overlaps the current step: double buffering).
     """
     q: "queue.Queue" = queue.Queue(maxsize=size)
     sentinel = object()
@@ -250,7 +262,7 @@ def prefetch(iterator: Iterator, size: int = 2) -> Iterator:
     def producer():
         try:
             for item in iterator:
-                q.put(item)
+                q.put(transform(item) if transform is not None else item)
         except BaseException as e:  # surfaced on the consumer side
             err.append(e)
         finally:
@@ -282,6 +294,7 @@ class DataModule:
         prefetch_size: int = 2,
         seed: int = 0,
         shard_by_host: bool = False,
+        device_prefetch: bool = True,
     ):
         self.root = Path(root)
         self.discard_first_seconds = discard_first_seconds
@@ -293,6 +306,7 @@ class DataModule:
         self.prefetch_size = prefetch_size
         self.seed = seed
         self.shard_by_host = shard_by_host
+        self.device_prefetch = device_prefetch
 
         self.stats: Optional[FieldStats] = None
         self.train_dataset: Optional[CaseDataset] = None
@@ -356,4 +370,5 @@ class DataModule:
             for idxs in sampler:
                 yield collate(dataset[idxs], self.stats, self.variables)
 
-        return prefetch(gen(), size=self.prefetch_size)
+        transform = Batch.device_put if self.device_prefetch else None
+        return prefetch(gen(), size=self.prefetch_size, transform=transform)

@@ -141,6 +141,9 @@ class DataConfig:
     test_samples: int = 16
     stride: int = 1  # sequence datasets only
     prefetch_size: int = 2
+    # double-buffer the host-to-device transfer in the prefetch thread
+    # (single-device runs; mesh runs re-place with their NamedSharding)
+    device_prefetch: bool = True
     # multi-host runs: round-robin whole TRAIN cases across hosts
     shard_by_host: bool = False
 

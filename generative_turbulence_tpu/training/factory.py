@@ -39,6 +39,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             prefetch_size=dc.prefetch_size,
             seed=tc.seed,
             shard_by_host=dc.shard_by_host,
+            device_prefetch=dc.device_prefetch,
         )
         dm.setup("fit")
         # LR schedule length = epochs * optimizer updates/epoch

@@ -15,6 +15,11 @@ import runpy
 import sys
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# The axon PJRT plugin self-registers at interpreter start and ignores the
+# env var; only the config knob actually forces the CPU backend here.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 if len(sys.argv) < 2:
     raise SystemExit(__doc__)

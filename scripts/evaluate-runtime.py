@@ -11,6 +11,8 @@ import json
 import sys
 import time
 
+import numpy as np
+
 from _common import load_task_from_checkpoint
 
 
@@ -34,14 +36,16 @@ def main():
         case = batch.metadata.case_name
         if case in times:
             continue
-        # Warm-up compiles the sampler for this batch shape.
-        jax.block_until_ready(task.sample(state, batch, rng))
+        # Warm-up compiles the sampler for this batch shape.  Synchronize by
+        # fetching a VALUE: on the remote-TPU backend jax.block_until_ready
+        # does not reliably wait (see CLAUDE.md); task.sample materializes
+        # numpy, and the element read below forces full completion.
+        float(np.asarray(task.sample(state, batch, rng)).ravel()[0])
         best = float("inf")
         for r in range(args.repeats):
             tic = time.perf_counter()
-            jax.block_until_ready(
-                task.sample(state, batch, jax.random.fold_in(rng, r))
-            )
+            out = task.sample(state, batch, jax.random.fold_in(rng, r))
+            float(np.asarray(out).ravel()[0])
             best = min(best, time.perf_counter() - tic)
         times[case] = best
         print(f"{case}: {best:.3f}s / batch of {batch.batch_size}", file=sys.stderr)

@@ -27,6 +27,10 @@ def main():
         "--limit", type=int, default=None,
         help="generate only the first N cases per split (smoke runs)",
     )
+    ap.add_argument(
+        "--resume", action="store_true",
+        help="skip cases whose data.h5 already carries the analysis artifacts",
+    )
     args = ap.parse_args()
 
     from generative_turbulence_tpu.toolchain.convert import (
@@ -68,8 +72,12 @@ def main():
             n_subdomains=args.n_subdomains,
         )
         case_dir = cases_dir / name
+        artifacts = ["data.h5", "mean-flow.h5", "regions.npz", "max-mean-tke.npy"]
+        if args.resume and all((case_dir / a).exists() for a in artifacts):
+            print(f"skipping {name} (complete)")
+            continue
         generate_case(case_dir, config)
-        print(f"generated {name}")
+        print(f"generated {name}", flush=True)
         if args.mock_solve:
             mock_solve(case_dir, config, n_frames=args.frames, seed=hash(name) % 2**31)
             h5 = foam_case_to_h5(case_dir)

@@ -66,13 +66,13 @@ def test_factory_with_accumulation(synthetic_root, tmp_path):
     assert batch.cells.shape[0] <= 2
 
     state = task.init_state(jax.random.PRNGKey(0), batch)
-    p0 = jax.tree_util.tree_leaves(state.params)[0].copy()
-    # first micro-step must NOT change params (accumulating)
+    p0 = [np.asarray(p).copy() for p in jax.tree_util.tree_leaves(state.params)]
+    # first micro-step must NOT change params (accumulating): exact equality
     state, _ = task.training_step(state, batch, jax.random.PRNGKey(1))
-    p1 = jax.tree_util.tree_leaves(state.params)[0]
-    np.testing.assert_allclose(np.asarray(p0), np.asarray(p1))
-    # second micro-step applies the update
+    p1 = [np.asarray(p) for p in jax.tree_util.tree_leaves(state.params)]
+    assert all(np.array_equal(a, b) for a, b in zip(p0, p1))
+    # second micro-step applies the update: some leaf must move
     batch2 = next(iter(dm.train_batches()))
     state, _ = task.training_step(state, batch2, jax.random.PRNGKey(2))
-    p2 = jax.tree_util.tree_leaves(state.params)[0]
-    assert not np.allclose(np.asarray(p0), np.asarray(p2))
+    p2 = [np.asarray(p) for p in jax.tree_util.tree_leaves(state.params)]
+    assert any(not np.array_equal(a, b) for a, b in zip(p0, p2))
