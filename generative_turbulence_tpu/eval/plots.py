@@ -86,11 +86,24 @@ def plot_slice(
             mid = f.shape[2] // 2 if axis == "z" else f.shape[1] // 2
             sl = f[:, :, mid] if axis == "z" else f[:, mid, :]
             fields.append(sl.T)
-        vmin = min(f.min() for f in fields)
-        vmax = max(f.max() for f in fields)
+        # Color scales anchor on the DATA panel (reference plots.py:93-97):
+        # signed fields (p, divergence) get a zero-centered diverging map,
+        # everything else a sequential map on the data's range.
+        import matplotlib.colors as mc
+
+        data_sl = fields[-1]
+        if v in (Variable.P, Variable.DIVERGENCE):
+            norm = mc.CenteredNorm(vcenter=0, halfrange=np.abs(data_sl).max())
+            cmap = "coolwarm"
+        else:
+            norm = mc.Normalize(vmin=data_sl.min(), vmax=data_sl.max())
+            cmap = "cividis"
         for col, (name, sl) in enumerate(zip(("sample", "data"), fields)):
             ax = axes[row][col]
-            im = ax.imshow(sl, origin="lower", vmin=vmin, vmax=vmax, aspect="auto")
+            im = ax.imshow(
+                sl, origin="lower", norm=norm, cmap=cmap,
+                interpolation="none", aspect="auto",
+            )
             ax.set_title(f"{v.key} ({name})", fontsize=9)
             ax.set_xticks([])
             ax.set_yticks([])
