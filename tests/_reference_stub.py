@@ -27,6 +27,16 @@ def _make_class(name: str = "Stub"):
 
 
 def _stub(name: str, **attrs):
+    # Never shadow a module that is actually installed (the stubs exist only
+    # to satisfy imports of packages absent from this environment).
+    import importlib.util
+
+    try:
+        if name in sys.modules or importlib.util.find_spec(name) is not None:
+            return sys.modules.get(name)
+    except (ImportError, ModuleNotFoundError, ValueError):
+        pass
+
     mod = types.ModuleType(name)
     mod.__file__ = f"<stub {name}>"
 
