@@ -235,12 +235,25 @@ def shard_files_by_host(files, enabled: bool):
     return sharded
 
 
-def collate(data: CaseData, stats: FieldStats, variables: Sequence[Variable]) -> Batch:
+def collate(
+    data: CaseData,
+    stats: FieldStats,
+    variables: Sequence[Variable],
+    cell_bucket: int = 0,
+) -> Batch:
     variables = tuple(variables)
+    cells = data.stacked_cells(variables)
+    if cell_bucket:
+        # Pad the cell axis to the bucket so every case in a bucket shares
+        # one jit compilation (GridMap pads its index tables to match).
+        n = cells.shape[1]
+        pad = -(-n // cell_bucket) * cell_bucket - n
+        if pad:
+            cells = np.pad(cells, ((0, 0), (0, pad), (0, 0)))
     return Batch(
-        cells=data.stacked_cells(variables),
+        cells=cells,
         t=np.asarray(data.t),
-        grid=GridMap.from_metadata(data.metadata, variables),
+        grid=GridMap.from_metadata(data.metadata, variables, bucket=cell_bucket),
         metadata=data.metadata,
         stats=stats,
         variables=variables,
@@ -295,6 +308,7 @@ class DataModule:
         seed: int = 0,
         shard_by_host: bool = False,
         device_prefetch: bool = True,
+        cell_bucket: int = 16384,
     ):
         self.root = Path(root)
         self.discard_first_seconds = discard_first_seconds
@@ -307,6 +321,7 @@ class DataModule:
         self.seed = seed
         self.shard_by_host = shard_by_host
         self.device_prefetch = device_prefetch
+        self.cell_bucket = cell_bucket
 
         self.stats: Optional[FieldStats] = None
         self.train_dataset: Optional[CaseDataset] = None
@@ -368,7 +383,9 @@ class DataModule:
     def _iterate(self, dataset: CaseDataset, sampler) -> Iterator[Batch]:
         def gen():
             for idxs in sampler:
-                yield collate(dataset[idxs], self.stats, self.variables)
+                yield collate(
+                    dataset[idxs], self.stats, self.variables, self.cell_bucket
+                )
 
         transform = Batch.device_put if self.device_prefetch else None
         return prefetch(gen(), size=self.prefetch_size, transform=transform)

@@ -54,37 +54,75 @@ class GridMap:
     h: jnp.ndarray
     shape: Tuple[int, int, int]
     n_features: int
+    # TRUE cell count as a () int32 LEAF (not static aux): loss normalizers
+    # divide by it inside jit, and baking it as a constant would re-specialize
+    # the compiled program per case — exactly what bucketing exists to avoid.
+    n_valid: jnp.ndarray = None
 
     @staticmethod
     def from_metadata(
-        meta: CaseMetadata, variables: Sequence[Variable], *, cached: bool = True
+        meta: CaseMetadata,
+        variables: Sequence[Variable],
+        *,
+        cached: bool = True,
+        bucket: int = 0,
     ) -> "GridMap":
         """Build (or fetch) the device-resident index maps for a case.
 
-        Cached per (case file, variables): the arrays are static per geometry,
-        so re-uploading ~4 MB of indices every batch would waste host->device
-        bandwidth on every training step.
+        Cached per (case file, variables, bucket): the arrays are static per
+        geometry, so re-uploading ~4 MB of indices every batch would waste
+        host->device bandwidth on every training step.
+
+        ``bucket`` rounds the cell and Dirichlet index tables UP to a multiple
+        of this granularity, padding with OUT-OF-RANGE sentinel indices
+        (scatter drops them, gather fills zeros).  Cases whose counts land in
+        the same bucket then share ONE compiled program — without bucketing,
+        every case costs a fresh XLA compile, which on slow-compile backends
+        dominates the first epoch (the 45-shape dataset spans 30 distinct
+        cell counts within a 2% band).
         """
         if cached:
-            key = (str(meta.file), tuple(v.key for v in variables))
+            key = (str(meta.file), tuple(v.key for v in variables), bucket)
             hit = _GRIDMAP_CACHE.get(key)
             if hit is not None:
                 return hit
-            grid = GridMap.from_metadata(meta, variables, cached=False)
+            grid = GridMap.from_metadata(
+                meta, variables, cached=False, bucket=bucket
+            )
             if len(_GRIDMAP_CACHE) > 128:  # bound device memory across many cases
                 _GRIDMAP_CACHE.clear()
             _GRIDMAP_CACHE[key] = grid
             return grid
         d_idx, d_vals = meta.dirichlet_table(variables)
+        cell_idx = np.asarray(meta.cell_idx, dtype=np.int32)
+        n_valid = int(cell_idx.shape[0])
+        sentinel = int(np.prod(meta.cell_counts))  # out of range -> drop/fill
+        if bucket:
+            pad_to = -(-n_valid // bucket) * bucket
+            cell_idx = np.concatenate(
+                [cell_idx, np.full(pad_to - n_valid, sentinel, np.int32)]
+            )
+        d_idx = np.asarray(d_idx, dtype=np.int32)
+        d_vals = np.asarray(d_vals, dtype=np.float32)
+        if bucket:
+            m = d_idx.shape[0]
+            pad_d = -(-m // bucket) * bucket if m else 0
+            d_idx = np.concatenate(
+                [d_idx, np.full(pad_d - m, sentinel, np.int32)]
+            )
+            d_vals = np.concatenate(
+                [d_vals, np.zeros((pad_d - m, d_vals.shape[1]), np.float32)]
+            )
         return GridMap(
-            cell_idx=jnp.asarray(meta.cell_idx, dtype=jnp.int32),
-            dirichlet_idx=jnp.asarray(d_idx, dtype=jnp.int32),
-            dirichlet_vals=jnp.asarray(d_vals, dtype=jnp.float32),
+            cell_idx=jnp.asarray(cell_idx),
+            dirichlet_idx=jnp.asarray(d_idx),
+            dirichlet_vals=jnp.asarray(d_vals),
             cell_types=jnp.asarray(meta.cell_types, dtype=jnp.int32),
             inside_mask=jnp.asarray(meta.inside_mask),
             h=jnp.asarray(meta.h, dtype=jnp.float32),
             shape=tuple(int(c) for c in meta.cell_counts),
             n_features=total_dims(variables),
+            n_valid=jnp.asarray(n_valid, dtype=jnp.int32),
         )
 
     # pytree protocol ------------------------------------------------------
@@ -97,6 +135,7 @@ class GridMap:
             self.cell_types,
             self.inside_mask,
             self.h,
+            self.n_valid,
         )
         aux = (self.shape, self.n_features)
         return leaves, aux
@@ -104,10 +143,15 @@ class GridMap:
     @classmethod
     def tree_unflatten(cls, aux, leaves):
         shape, n_features = aux
-        return cls(*leaves, shape=shape, n_features=n_features)
+        *arrays, n_valid = leaves
+        return cls(*arrays, shape=shape, n_features=n_features, n_valid=n_valid)
 
     @property
     def n_cells(self) -> int:
+        """TRUE in-domain cell count (host-side; excludes bucket padding).
+        Inside jit use ``grid.n_valid`` (a traced scalar) instead."""
+        if self.n_valid is not None:
+            return int(self.n_valid)
         return int(self.cell_idx.shape[0])
 
 
@@ -123,21 +167,25 @@ def embed_cells(values: jnp.ndarray, grid: GridMap) -> jnp.ndarray:
     F = values.shape[-1]
     batch_shape = values.shape[:-2]
     flat = jnp.zeros((*batch_shape, X * Y * Z, F), dtype=values.dtype)
-    flat = flat.at[..., grid.cell_idx, :].set(values, unique_indices=True)
+    # mode="drop": bucket-padded index tables carry out-of-range sentinels.
+    flat = flat.at[..., grid.cell_idx, :].set(
+        values, unique_indices=True, mode="drop"
+    )
     if grid.dirichlet_idx.shape[0] > 0:
         vals = grid.dirichlet_vals.astype(values.dtype)
         vals = jnp.broadcast_to(vals, (*batch_shape, *vals.shape))
-        flat = flat.at[..., grid.dirichlet_idx, :].set(vals)
+        flat = flat.at[..., grid.dirichlet_idx, :].set(vals, mode="drop")
     return flat.reshape(*batch_shape, X, Y, Z, F)
 
 
 def gather_cells(x: jnp.ndarray, grid: GridMap) -> jnp.ndarray:
     """Gather in-domain cell values from a dense grid.
 
-    x: (..., X, Y, Z, F)  ->  (..., n_cells, F)
+    x: (..., X, Y, Z, F)  ->  (..., n_cells_padded, F); bucket-padding rows
+    (out-of-range sentinel indices) read as zeros.
     """
     flat = ravel_grid(x)
-    return flat[..., grid.cell_idx, :]
+    return jnp.take(flat, grid.cell_idx, axis=-2, mode="fill", fill_value=0)
 
 
 def gather_at(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -185,5 +233,6 @@ def masked_mean(
     """
     mask = grid.inside_mask[..., None].astype(x.dtype)
     total = jnp.sum(x * mask, axis=tuple(range(batch_ndim, x.ndim)))
-    n = grid.cell_idx.shape[0] * x.shape[-1]  # in-domain cells x channels
+    # TRUE in-domain cells x channels, as a traced scalar (see GridMap.n_valid)
+    n = grid.n_valid.astype(x.dtype) * x.shape[-1]
     return total / n

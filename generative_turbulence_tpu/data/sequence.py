@@ -83,14 +83,23 @@ class SequenceDataset(CaseDataset):
 
 
 def collate_sequence(
-    data: CaseData, stats: FieldStats, variables: Sequence[Variable]
+    data: CaseData,
+    stats: FieldStats,
+    variables: Sequence[Variable],
+    cell_bucket: int = 0,
 ) -> SequenceBatch:
     variables = tuple(variables)
     cells = np.concatenate([data.fields[v] for v in variables], axis=-1)
+    if cell_bucket:
+        n = cells.shape[-2]
+        pad = -(-n // cell_bucket) * cell_bucket - n
+        if pad:
+            cfg = [(0, 0)] * (cells.ndim - 2) + [(0, pad), (0, 0)]
+            cells = np.pad(cells, cfg)
     return SequenceBatch(
         cells=cells,
         t=np.asarray(data.t),
-        grid=GridMap.from_metadata(data.metadata, variables),
+        grid=GridMap.from_metadata(data.metadata, variables, bucket=cell_bucket),
         metadata=data.metadata,
         stats=stats,
         variables=variables,
@@ -111,6 +120,7 @@ class SequenceDataModule:
         variables: Sequence[Variable] = (Variable.U, Variable.P),
         stride: int = 1,
         prefetch_size: int = 2,
+        cell_bucket: int = 16384,
         seed: int = 0,
     ):
         self.root = Path(root)
@@ -124,6 +134,7 @@ class SequenceDataModule:
         self.variables = tuple(variables)
         self.stride = stride
         self.prefetch_size = prefetch_size
+        self.cell_bucket = cell_bucket
         self.seed = seed
 
         self.stats: Optional[FieldStats] = None
@@ -185,6 +196,8 @@ class SequenceDataModule:
     def _iterate(self, dataset: SequenceDataset, sampler) -> Iterator[SequenceBatch]:
         def gen():
             for idxs in sampler:
-                yield collate_sequence(dataset[idxs], self.stats, self.variables)
+                yield collate_sequence(
+                    dataset[idxs], self.stats, self.variables, self.cell_bucket
+                )
 
         return prefetch(gen(), size=self.prefetch_size)

@@ -279,8 +279,9 @@ class GaussianDiffusion:
         else:
             raise ValueError(f"Invalid loss type {self.loss_type!r}")
 
-        # Mean over in-domain cells only (``ddpm.py:845-850``).
-        n_in = grid.cell_idx.shape[0] * x_start.shape[-1]
+        # Mean over in-domain cells only (``ddpm.py:845-850``); n_valid is a
+        # traced scalar so bucketed cases share one compiled program.
+        n_in = grid.n_valid.astype(err.dtype) * x_start.shape[-1]
         per_sample = jnp.sum(err * inside, axis=(1, 2, 3, 4)) / n_in
         loss = per_sample.mean()
 

@@ -41,6 +41,9 @@ class SampleStore:
     def add_samples(self, cells: np.ndarray, metadata: CaseMetadata):
         """cells: (B, n_cells, F) stacked channel values at in-domain cells."""
         cells = np.asarray(cells)
+        if cells.shape[1] > metadata.n_cells:
+            # drop cell-bucket padding rows (zeros past the true cell count)
+            cells = cells[:, : metadata.n_cells]
         slices = channel_slices(self.variables)
         with h5py.File(self.samples_file, "a") as f:
             data_group = f.require_group(metadata.case_name).require_group("data")

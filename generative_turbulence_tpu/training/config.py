@@ -144,6 +144,10 @@ class DataConfig:
     # double-buffer the host-to-device transfer in the prefetch thread
     # (single-device runs; mesh runs re-place with their NamedSharding)
     device_prefetch: bool = True
+    # pad cell/dirichlet tables up to this granularity so cases with nearby
+    # cell counts share ONE compiled program (0 = off); scatter drops the
+    # sentinel rows, gather fills zeros, losses normalize by the true count
+    cell_bucket: int = 16384
     # multi-host runs: round-robin whole TRAIN cases across hosts
     shard_by_host: bool = False
 

@@ -224,11 +224,13 @@ class DiffusionTask:
         return state, metrics
 
     def sample(self, state, batch: Batch, rng: jax.Array) -> np.ndarray:
-        """Generate denormalized samples as (B, n_cells, F) host array.
+        """Generate denormalized samples as (B, n_cells, F) host array
+        (sliced to the TRUE cell count when the batch is bucket-padded).
 
         Uses the EMA parameters when ema_decay is enabled."""
         cells, grid = shard_batch_arrays(self.mesh, jnp.asarray(batch.cells), batch.grid)
-        return np.asarray(self._sample_fn(self._sampling_params(state), cells, grid, rng))
+        out = np.asarray(self._sample_fn(self._sampling_params(state), cells, grid, rng))
+        return out[:, : batch.metadata.n_cells]
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array, phase: str):
         store = self.val_sample_store if phase == "val" else self.test_sample_store

@@ -40,6 +40,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             seed=tc.seed,
             shard_by_host=dc.shard_by_host,
             device_prefetch=dc.device_prefetch,
+            cell_bucket=dc.cell_bucket,
         )
         dm.setup("fit")
         # LR schedule length = epochs * optimizer updates/epoch
@@ -73,6 +74,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             variables=variables,
             stride=dc.stride,
             prefetch_size=dc.prefetch_size,
+            cell_bucket=dc.cell_bucket,
             seed=tc.seed,
         )
         dm.setup("fit")

@@ -202,9 +202,12 @@ class RegressionTaskBase:
             s_cells = gather_cells(x_sample, grid)
             t_cells = gather_cells(x_target, grid)
             err2 = (s_cells - t_cells) ** 2  # (B, T, N, F)
+            # Normalize by the TRUE cell count: bucket-padded rows are zeros
+            # in both operands and must not dilute the MSE.
+            n_valid = grid.n_valid.astype(err2.dtype)
             mse = {}
             for v, sl in channel_slices(self.variables).items():
-                per_step = err2[..., sl].sum(axis=-1).mean(axis=-1)  # (B, T)
+                per_step = err2[..., sl].sum(axis=(-2, -1)) / n_valid  # (B, T)
                 mse[v.key] = per_step.mean(axis=0)  # (T,)
             return loss, s_cells, mse
 
@@ -324,10 +327,13 @@ class DilResNetTask(RegressionTaskBase):
             x1 = x[:, self.context_window]
             dx = x1 - x0
 
-            # Per-channel delta statistics over in-domain cells.
+            # Per-channel delta statistics over in-domain cells; bucket
+            # padding rows are zeros, so sums are exact and the counts use
+            # the traced TRUE cell count.
             dx_cells = gather_cells(dx, grid)  # (B, N, F)
-            batch_mean = dx_cells.mean(axis=(0, 1))
-            batch_var = dx_cells.var(axis=(0, 1))
+            n = dx_cells.shape[0] * grid.n_valid.astype(dx_cells.dtype)
+            batch_mean = dx_cells.sum(axis=(0, 1)) / n
+            batch_var = (dx_cells**2).sum(axis=(0, 1)) / n - batch_mean**2
 
             tracking = state.n_tracked < self.N_TRACK_BATCHES
             m = self.BN_MOMENTUM
@@ -335,8 +341,7 @@ class DilResNetTask(RegressionTaskBase):
                 tracking, (1 - m) * state.dx_mean + m * batch_mean, state.dx_mean
             )
             # torch running_var uses the unbiased batch variance
-            n = dx_cells.shape[0] * dx_cells.shape[1]
-            unbiased = batch_var * n / max(n - 1, 1)
+            unbiased = batch_var * n / jnp.maximum(n - 1, 1)
             new_var = jnp.where(
                 tracking, (1 - m) * state.dx_var + m * unbiased, state.dx_var
             )

@@ -273,3 +273,90 @@ def test_conditioning_cell_pos_features():
     assert cond.out_dim == 7
     pos = np.asarray(out[..., 4:])
     assert pos.min() == 0.0 and pos.max() == 1.0
+
+
+class TestCellBucketing:
+    """Bucket-padded index tables must be numerically identical to unpadded
+    ones (scatter drops sentinels, gather fills zeros, norms use n_valid)."""
+
+    def test_embed_gather_roundtrip_with_bucket(self, synthetic_root):
+        from generative_turbulence_tpu.data.grid import (
+            GridMap,
+            embed_cells,
+            gather_cells,
+            masked_mean,
+        )
+        from generative_turbulence_tpu.data.schema import find_data_files, read_metadata
+        from generative_turbulence_tpu.data.variables import Variable
+
+        f = find_data_files(synthetic_root / "val")[0]
+        meta = read_metadata(f)
+        variables = (Variable.U, Variable.P)
+        plain = GridMap.from_metadata(meta, variables, cached=False)
+        bucketed = GridMap.from_metadata(meta, variables, cached=False, bucket=512)
+
+        n = plain.n_cells
+        assert bucketed.n_cells == n
+        assert bucketed.cell_idx.shape[0] % 512 == 0
+        assert bucketed.cell_idx.shape[0] > n
+
+        rng = np.random.default_rng(0)
+        vals = rng.normal(size=(2, n, 4)).astype(np.float32)
+        vals_padded = np.zeros((2, bucketed.cell_idx.shape[0], 4), np.float32)
+        vals_padded[:, :n] = vals
+
+        dense_a = np.asarray(embed_cells(jnp.asarray(vals), plain))
+        dense_b = np.asarray(embed_cells(jnp.asarray(vals_padded), bucketed))
+        np.testing.assert_array_equal(dense_a, dense_b)
+
+        back = np.asarray(gather_cells(jnp.asarray(dense_b), bucketed))
+        np.testing.assert_array_equal(back[:, :n], vals)
+        assert np.all(back[:, n:] == 0)
+
+        m_a = np.asarray(masked_mean(jnp.asarray(dense_a) ** 2, plain))
+        m_b = np.asarray(masked_mean(jnp.asarray(dense_b) ** 2, bucketed))
+        np.testing.assert_allclose(m_a, m_b, rtol=1e-6)
+
+    def test_bucketed_batches_share_one_compile(self, synthetic_root):
+        """Different cases with unequal n_cells must produce identically-shaped
+        jit arguments when bucketed."""
+        from generative_turbulence_tpu.data.dataset import DataModule
+
+        dm = DataModule(
+            synthetic_root, discard_first_seconds=-1.0, batch_size=2,
+            cell_bucket=512, device_prefetch=False,
+        )
+        dm.setup("fit")
+        shapes = set()
+        for batch in dm.train_batches():
+            shapes.add(batch.cells.shape[1:] + batch.grid.cell_idx.shape)
+        assert len(shapes) == 1
+
+    def test_training_loss_invariant_to_bucketing(self, synthetic_root):
+        import jax
+
+        from generative_turbulence_tpu.data.dataset import DataModule
+        from generative_turbulence_tpu.training.config import parse_cli_overrides
+        from generative_turbulence_tpu.training.factory import instantiate_data_and_task
+
+        losses = []
+        for bucket in (0, 512):
+            cfg = parse_cli_overrides(
+                [
+                    "model=diffusion",
+                    f"data.root={synthetic_root}",
+                    "data.discard_first_seconds=-1",
+                    f"data.cell_bucket={bucket}",
+                    "data.device_prefetch=false",
+                    "model.batch_size=2",
+                    "model.dim=8",
+                    "model.u_net_levels=1",
+                    "model.timesteps=4",
+                ]
+            ).resolved()
+            dm, task = instantiate_data_and_task(cfg)
+            batch = next(iter(dm.train_batches()))
+            state = task.init_state(jax.random.PRNGKey(0), batch)
+            _, metrics = task.training_step(state, batch, jax.random.PRNGKey(1))
+            losses.append(float(metrics["train/loss"]))
+        assert losses[0] == pytest.approx(losses[1], rel=1e-5)
