@@ -244,6 +244,10 @@ class DiffusionTask:
     def on_eval_end(self, stats: FieldStats, phase: str, *, expensive: bool):
         store = self.val_sample_store if phase == "val" else self.test_sample_store
         metrics = self.val_metrics if phase == "val" else self.test_metrics
+        # The config flag gates the point-cloud Wasserstein even on the final
+        # (expensive=True) validation — at shapes scale it is hours of exact
+        # EMD on a small host; run it offline via eval_ckpt --expensive.
+        expensive = expensive and self.cfg.compute_expensive_sample_metrics
         return metrics.compute(store, stats, expensive_metrics=expensive)
 
     def render_plots(self, out_dir, phase: str, step: int):
