@@ -124,6 +124,36 @@ def _emd2_sq_job(D: np.ndarray) -> float:
     return emd2_uniform(D**2)
 
 
+def _masked_region_costs(s_pad, d_pad, mask, *, reg: float, n_iters: int):
+    """Masked entropic costs for a chunk of padded regions.
+
+    s_pad: (n, Kc, R, F) sample features; d_pad: (m, Kc, R, F) data features;
+    mask: (Kc, R) validity.  Returns (n, Kc, m) squared-distance transport
+    costs (the <P, D^2> the exact path computes per block).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.sinkhorn import masked_sinkhorn_emd2
+
+    # (n, Kc, m, R, R) squared pairwise distances.
+    s = s_pad[:, :, None, :, None, :]  # (n, Kc, 1, R, 1, F)
+    d = jnp.transpose(d_pad, (1, 0, 2, 3))[None, :, :, None, :, :]  # (1, Kc, m, 1, R, F)
+    M = jnp.sum((s - d) ** 2, axis=-1)
+    valid = mask[None, :, None, :]  # (1, Kc, 1, R)
+    row_valid = jnp.broadcast_to(valid, M.shape[:-1])
+    col_valid = jnp.broadcast_to(valid, M.shape[:-2] + M.shape[-1:])
+    # Scale-invariant regularization: reg relative to each matrix's mean
+    # valid cost, so convergence speed doesn't depend on feature units.
+    pair = row_valid[..., :, None] & col_valid[..., None, :]
+    mean_cost = jnp.sum(jnp.where(pair, M, 0.0), axis=(-2, -1)) / jnp.maximum(
+        jnp.sum(pair, axis=(-2, -1)), 1
+    )
+    reg_arr = reg * jnp.maximum(mean_cost, 1e-12)
+    return masked_sinkhorn_emd2(
+        M, row_valid, col_valid, reg=reg_arr, n_iters=n_iters
+    )
+
+
 def _emd2_sq_rows(dist_block: np.ndarray) -> np.ndarray:
     """Exact EMD of each (R, R) slice of an (m, R, R) distance block."""
     return np.array([emd2_uniform(d**2) for d in dist_block])
@@ -173,11 +203,42 @@ class WassersteinMetric:
         blocks = [(k, i) for k in range(K) for i in range(n)]
         D = np.zeros((n, m, K))
         if self.solver == "sinkhorn":
-            from ..ops.sinkhorn import sinkhorn_emd2
+            # On-device bucketed path: pad every region's point cloud to the
+            # max region size so ALL (region, sample, frame) transports run
+            # through ONE compiled masked-Sinkhorn program, chunked over
+            # regions to bound device memory.  At shapes scale (~1.2k regions
+            # of <=512 cells, 8x5 pairs) the exact host EMD is hours on a
+            # small host; this runs in minutes on the chip.
+            from ..ops.sinkhorn import masked_sinkhorn_emd2
 
-            solve = jax.jit(functools.partial(sinkhorn_emd2, reg=0.05, n_iters=200))
-            for k, i in blocks:
-                D[i, :, k] = np.asarray(solve(jnp.asarray(dist_block(k, i)) ** 2))
+            R_max = max(int(len(ix)) for ix in region_idx)
+            pad_idx = np.zeros((K, R_max), np.int64)
+            mask = np.zeros((K, R_max), bool)
+            for k, ix in enumerate(region_idx):
+                pad_idx[k, : len(ix)] = ix
+                mask[k, : len(ix)] = True
+
+            solve = jax.jit(
+                functools.partial(_masked_region_costs, reg=0.02, n_iters=300)
+            )
+            chunk = max(1, int(2**22 // (m * R_max * R_max)))  # ~16MB/chunk f32
+            s_pad = sample_features[:, pad_idx]  # (n, K, R_max, F)
+            d_pad = data_features[:, pad_idx]  # (m, K, R_max, F)
+            for k0 in range(0, K, chunk):
+                k1 = min(K, k0 + chunk)
+                kc = k1 - k0
+                if kc < chunk:  # pad the last chunk to keep one compilation
+                    sel = np.r_[np.arange(k0, k1), np.zeros(chunk - kc, int)]
+                else:
+                    sel = np.arange(k0, k1)
+                out = np.asarray(
+                    solve(
+                        jnp.asarray(s_pad[:, sel]),
+                        jnp.asarray(d_pad[:, sel]),
+                        jnp.asarray(mask[sel]),
+                    )
+                )  # (n, chunk, m)
+                D[:, :, k0:k1] = out[:, :kc].transpose(0, 2, 1)
         else:
             n_workers = self.max_workers
             if n_workers is None:
@@ -254,8 +315,12 @@ class SampleMetricsCollection:
         self.metrics = list(metrics)
 
     @staticmethod
-    def default_metrics() -> List:
-        return [WassersteinTKE(), WassersteinMetric(), MaxMeanTKEPositionMetric()]
+    def default_metrics(wasserstein_solver: str = "exact") -> List:
+        return [
+            WassersteinTKE(),
+            WassersteinMetric(solver=wasserstein_solver),
+            MaxMeanTKEPositionMetric(),
+        ]
 
     def compute(
         self,

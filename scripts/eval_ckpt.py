@@ -22,6 +22,11 @@ def main():
     ap.add_argument("overrides", nargs="*", help="config overrides key=value")
     ap.add_argument("--which", default="best", choices=["best", "last"])
     ap.add_argument("--expensive", action="store_true", help="also run expensive metrics")
+    ap.add_argument(
+        "--wasserstein-solver", default="exact", choices=["exact", "sinkhorn"],
+        help="point-cloud Wasserstein backend: host EMD or on-device "
+        "bucketed masked-Sinkhorn (minutes instead of hours at shapes scale)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -42,7 +47,9 @@ def main():
         store.add_samples(samples, batch.metadata)
 
     collection = SampleMetricsCollection(
-        "val", Path(config.data.root) / "val", SampleMetricsCollection.default_metrics()
+        "val",
+        Path(config.data.root) / "val",
+        SampleMetricsCollection.default_metrics(args.wasserstein_solver),
     )
     metrics = collection.compute(store, dm.stats, expensive_metrics=args.expensive)
     print(json.dumps(metrics, indent=2))

@@ -39,3 +39,48 @@ def test_sinkhorn_identity_near_zero():
     M = 1.0 - np.eye(8)
     val = float(sinkhorn_emd2(jnp.asarray(M), reg=0.01, n_iters=500))
     assert val < 0.02
+
+
+def test_masked_matches_unpadded():
+    """Padding rows/cols with mask=False must reproduce the unpadded cost."""
+    from generative_turbulence_tpu.ops.sinkhorn import (
+        masked_sinkhorn_emd2,
+        sinkhorn_emd2,
+    )
+
+    rng = np.random.default_rng(0)
+    n, m, pad = 9, 7, 5
+    M = np.abs(rng.normal(size=(n, m))).astype(np.float32)
+    want = float(sinkhorn_emd2(jnp.asarray(M), reg=0.1, n_iters=300))
+
+    Mp = np.full((n + pad, m + pad), 123.0, np.float32)  # garbage in padding
+    Mp[:n, :m] = M
+    rv = np.zeros(n + pad, bool); rv[:n] = True
+    cv = np.zeros(m + pad, bool); cv[:m] = True
+    got = float(
+        masked_sinkhorn_emd2(
+            jnp.asarray(Mp), jnp.asarray(rv), jnp.asarray(cv), reg=0.1, n_iters=300
+        )
+    )
+    assert got == pytest.approx(want, rel=1e-4)
+
+
+def test_masked_batched_mixed_sizes():
+    """One compiled program serves clouds of different true sizes."""
+    from generative_turbulence_tpu.ops.sinkhorn import masked_sinkhorn_emd2
+
+    rng = np.random.default_rng(1)
+    B, N = 4, 12
+    sizes = [(12, 12), (5, 9), (8, 3), (1, 1)]
+    M = np.abs(rng.normal(size=(B, N, N))).astype(np.float32)
+    rv = np.zeros((B, N), bool)
+    cv = np.zeros((B, N), bool)
+    for b, (a, c) in enumerate(sizes):
+        rv[b, :a] = True
+        cv[b, :c] = True
+    fn = jax.jit(lambda M, r, c: masked_sinkhorn_emd2(M, r, c, reg=0.1, n_iters=200))
+    out = np.asarray(fn(jnp.asarray(M), jnp.asarray(rv), jnp.asarray(cv)))
+    assert out.shape == (B,)
+    assert np.all(np.isfinite(out))
+    # singleton vs singleton transports everything at M[0,0]
+    assert out[3] == pytest.approx(M[3, 0, 0], rel=1e-5)
