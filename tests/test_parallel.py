@@ -24,9 +24,13 @@ def test_dryrun_entrypoints():
     g.dryrun_multichip(8)
 
 
-def test_data_parallel_training_matches_single_device(synthetic_root, tmp_path):
-    """A dp-sharded train step must produce the same loss/params trajectory
-    as the unsharded one (same rng, same data)."""
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+def test_data_parallel_training_matches_single_device(
+    synthetic_root, tmp_path, mesh_shape
+):
+    """A (dp, sp)-sharded train step must produce the same loss/params
+    trajectory as the unsharded one (same rng, same data) — including deeper
+    spatial sharding (sp=4: three halo exchanges per conv axis)."""
     from generative_turbulence_tpu.data import DataModule, Variable
     from generative_turbulence_tpu.training import parse_cli_overrides
     from generative_turbulence_tpu.training.diffusion_task import DiffusionTask
@@ -59,7 +63,7 @@ def test_data_parallel_training_matches_single_device(synthetic_root, tmp_path):
     state1 = task_single.init_state(rng, batch)
     state1, m1 = task_single.training_step(state1, batch, jax.random.PRNGKey(7))
 
-    mesh = create_mesh((4, 2))
+    mesh = create_mesh(mesh_shape)
     task_sharded = DiffusionTask(
         cfg.model, dm.stats, synthetic_root, tmp_path / "s2", mesh=mesh
     )
