@@ -58,6 +58,9 @@ class GridMap:
     # divide by it inside jit, and baking it as a constant would re-specialize
     # the compiled program per case — exactly what bucketing exists to avoid.
     n_valid: jnp.ndarray = None
+    # static: whether the index tables carry bucket padding (sentinel rows);
+    # constant per run config, so it is safe as compile-time aux.
+    bucketed: bool = False
 
     @staticmethod
     def from_metadata(
@@ -123,6 +126,7 @@ class GridMap:
             shape=tuple(int(c) for c in meta.cell_counts),
             n_features=total_dims(variables),
             n_valid=jnp.asarray(n_valid, dtype=jnp.int32),
+            bucketed=bucket > 0,
         )
 
     # pytree protocol ------------------------------------------------------
@@ -137,14 +141,20 @@ class GridMap:
             self.h,
             self.n_valid,
         )
-        aux = (self.shape, self.n_features)
+        aux = (self.shape, self.n_features, self.bucketed)
         return leaves, aux
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        shape, n_features = aux
+        shape, n_features, bucketed = aux
         *arrays, n_valid = leaves
-        return cls(*arrays, shape=shape, n_features=n_features, n_valid=n_valid)
+        return cls(
+            *arrays,
+            shape=shape,
+            n_features=n_features,
+            n_valid=n_valid,
+            bucketed=bucketed,
+        )
 
     @property
     def n_cells(self) -> int:
@@ -168,8 +178,10 @@ def embed_cells(values: jnp.ndarray, grid: GridMap) -> jnp.ndarray:
     batch_shape = values.shape[:-2]
     flat = jnp.zeros((*batch_shape, X * Y * Z, F), dtype=values.dtype)
     # mode="drop": bucket-padded index tables carry out-of-range sentinels.
+    # unique_indices only when unpadded: padding repeats the sentinel, and
+    # promising uniqueness with duplicates present is undefined behavior.
     flat = flat.at[..., grid.cell_idx, :].set(
-        values, unique_indices=True, mode="drop"
+        values, unique_indices=not grid.bucketed, mode="drop"
     )
     if grid.dirichlet_idx.shape[0] > 0:
         vals = grid.dirichlet_vals.astype(values.dtype)

@@ -124,6 +124,14 @@ def _emd2_sq_job(D: np.ndarray) -> float:
     return emd2_uniform(D**2)
 
 
+@functools.lru_cache(maxsize=8)
+def _masked_region_solver(*, reg: float, n_iters: int):
+    """One jitted solver per (reg, n_iters): the jit cache is then shared
+    across cases, so same-shaped chunks compile once per process instead of
+    once per case (axon compiles are minutes and uncached)."""
+    return jax.jit(functools.partial(_masked_region_costs, reg=reg, n_iters=n_iters))
+
+
 def _masked_region_costs(s_pad, d_pad, mask, *, reg: float, n_iters: int):
     """Masked entropic costs for a chunk of padded regions.
 
@@ -218,10 +226,11 @@ class WassersteinMetric:
                 pad_idx[k, : len(ix)] = ix
                 mask[k, : len(ix)] = True
 
-            solve = jax.jit(
-                functools.partial(_masked_region_costs, reg=0.02, n_iters=300)
-            )
-            chunk = max(1, int(2**22 // (m * R_max * R_max)))  # ~16MB/chunk f32
+            solve = _masked_region_solver(reg=0.02, n_iters=300)
+            # Device-memory sizing: the solver materializes ~5 buffers of the
+            # (n, chunk, m, R, R) cost tensor; budget ~2^25 f32 elements for
+            # M itself (~128 MB incl. workspace at 5x).
+            chunk = max(1, int(2**25 // (n * m * R_max * R_max)))
             s_pad = sample_features[:, pad_idx]  # (n, K, R_max, F)
             d_pad = data_features[:, pad_idx]  # (m, K, R_max, F)
             for k0 in range(0, K, chunk):

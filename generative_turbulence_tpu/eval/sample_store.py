@@ -25,21 +25,23 @@ from ..data.variables import Variable, channel_slices
 
 class SampleStore:
     def __init__(self, samples_file: Path, variables: Sequence[Variable]):
-        # HDF5 writes are single-writer: in multi-host runs only process 0 may
-        # own a store (the reference hard-asserts non-distributed,
-        # metrics.py:41-43; we allow multi-host but guard the writer side).
+        # HDF5 writes are single-writer: in multi-host runs only process 0
+        # writes (the reference hard-asserts non-distributed, metrics.py:
+        # 41-43; we allow multi-host and make non-primary ranks no-op, since
+        # every rank constructs the task and therefore the store).
         import jax
 
-        if jax.process_count() > 1 and jax.process_index() != 0:
-            raise RuntimeError(
-                "SampleStore must only be created on process 0 in multi-host runs"
-            )
+        self.is_writer = jax.process_count() <= 1 or jax.process_index() == 0
         self.samples_file = Path(samples_file)
         self.variables = tuple(variables)
-        self.samples_file.parent.mkdir(parents=True, exist_ok=True)
+        if self.is_writer:
+            self.samples_file.parent.mkdir(parents=True, exist_ok=True)
 
     def add_samples(self, cells: np.ndarray, metadata: CaseMetadata):
-        """cells: (B, n_cells, F) stacked channel values at in-domain cells."""
+        """cells: (B, n_cells, F) stacked channel values at in-domain cells.
+        No-op on non-primary ranks in multi-host runs."""
+        if not self.is_writer:
+            return
         cells = np.asarray(cells)
         if cells.shape[1] > metadata.n_cells:
             # drop cell-bucket padding rows (zeros past the true cell count)
@@ -92,7 +94,7 @@ class SampleStore:
         return CaseData(metadata=metadata, t=np.zeros(n), fields=fields)
 
     def reset(self):
-        if not self.samples_file.is_file():
+        if not self.is_writer or not self.samples_file.is_file():
             return
         with h5py.File(self.samples_file, "a") as f:
             for case_name in f.keys():

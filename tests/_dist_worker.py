@@ -73,6 +73,25 @@ def main(root: str, out_json: str) -> None:
         lambda acc, leaf: acc + float(jnp.sum(jnp.abs(leaf))), state.params, 0.0
     )
 
+    # The REAL task construction must work on every rank (non-primary ranks
+    # get a no-op SampleStore writer instead of the old hard crash).
+    from generative_turbulence_tpu.training import parse_cli_overrides
+    from generative_turbulence_tpu.training.factory import instantiate_data_and_task
+
+    cfg = parse_cli_overrides(
+        [
+            "model=diffusion",
+            f"data.root={root}",
+            "data.discard_first_seconds=-1",
+            "model.dim=8",
+            "model.u_net_levels=1",
+            "model.timesteps=4",
+            "model.batch_size=2",
+        ]
+    ).resolved()
+    _, task = instantiate_data_and_task(cfg)
+    store_is_writer = bool(task.val_sample_store.is_writer)
+
     record = {
         "process_index": jax.process_index(),
         "process_count": jax.process_count(),
@@ -81,6 +100,7 @@ def main(root: str, out_json: str) -> None:
         "n_total_files": len(files),
         "loss": float(loss),
         "checksum": float(checksum),
+        "store_is_writer": store_is_writer,
     }
     Path(out_json).write_text(json.dumps(record))
 

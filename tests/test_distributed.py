@@ -93,3 +93,8 @@ def test_two_process_cluster_matches_single_process(synthetic_root, tmp_path):
     assert d0["loss"] == pytest.approx(d1["loss"], rel=1e-6)
     assert d0["loss"] == pytest.approx(single["loss"], rel=1e-5)
     assert d0["checksum"] == pytest.approx(single["checksum"], rel=1e-5)
+
+    # The full task constructs on every rank; only rank 0 owns the writer.
+    assert d0["store_is_writer"] is True
+    assert d1["store_is_writer"] is False
+    assert single["store_is_writer"] is True
