@@ -17,7 +17,7 @@ around XLA scatter instead of in-place tensor mutation.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -57,7 +57,7 @@ class GridMap:
     # TRUE cell count as a () int32 LEAF (not static aux): loss normalizers
     # divide by it inside jit, and baking it as a constant would re-specialize
     # the compiled program per case — exactly what bucketing exists to avoid.
-    n_valid: jnp.ndarray = None
+    n_valid: Optional[jnp.ndarray] = None
     # static: whether the index tables carry bucket padding (sentinel rows);
     # constant per run config, so it is safe as compile-time aux.
     bucketed: bool = False

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.grid import GridMap
+from ..data.grid import GridMap, masked_mean
 from .schedules import beta_schedule
 
 
@@ -279,10 +279,10 @@ class GaussianDiffusion:
         else:
             raise ValueError(f"Invalid loss type {self.loss_type!r}")
 
-        # Mean over in-domain cells only (``ddpm.py:845-850``); n_valid is a
-        # traced scalar so bucketed cases share one compiled program.
-        n_in = grid.n_valid.astype(err.dtype) * x_start.shape[-1]
-        per_sample = jnp.sum(err * inside, axis=(1, 2, 3, 4)) / n_in
+        # Mean over in-domain cells only (``ddpm.py:845-850``); masked_mean
+        # normalizes by the TRUE cell count as a traced scalar so bucketed
+        # cases share one compiled program.
+        per_sample = masked_mean(err, grid)
         loss = per_sample.mean()
 
         if self.elbo_weight is not None and self.learned_variances:
@@ -292,8 +292,8 @@ class GaussianDiffusion:
                 model_mean = jax.lax.stop_gradient(model_mean)
             kl = normal_kl(true_mean, true_log_var, model_mean, pred.log_var)
             log_lk = normal_log_likelihood(x_t, model_mean, pred.log_var)
-            kl_b = jnp.sum(kl * inside, axis=(1, 2, 3, 4)) / n_in
-            ll_b = jnp.sum(log_lk * inside, axis=(1, 2, 3, 4)) / n_in
+            kl_b = masked_mean(kl, grid)
+            ll_b = masked_mean(log_lk, grid)
             elbo = jnp.where(t == 0, -ll_b, kl_b)
             loss = loss + self.elbo_weight * elbo.mean()
 

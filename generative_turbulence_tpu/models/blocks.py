@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from ..ops.attention import efficient_linear_attention, multihead_attention
 from ..ops.interp import downsample_size, resize_trilinear
 from ..ops.pallas_kernels import (
-    conv3d_3x3_dispatch,
     fused_block_applicable,
     fused_double_conv_block,
 )
@@ -52,7 +51,6 @@ class Conv3d(nn.Module):
     dilation: int = 1
     use_bias: bool = True
     mxu_pad: int = 0
-    use_pallas: bool = True
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -70,17 +68,6 @@ class Conv3d(nn.Module):
             if self.use_bias
             else None
         )
-
-        # The Pallas matmul-conv handles the full-resolution levels where
-        # XLA's conv emitter underutilizes the MXU; dispatch returns None
-        # outside its envelope (small grids / wide channels / non-TPU).
-        if k == 3 and self.dilation == 1 and self.use_pallas and not self.mxu_pad:
-            xc, kc = x, kernel
-            if self.dtype is not None:
-                xc, kc = x.astype(self.dtype), kernel.astype(self.dtype)
-            out = conv3d_3x3_dispatch(xc, kc, bias)
-            if out is not None:
-                return out
 
         pad = (k - 1) // 2 * self.dilation
         if pad > 0:

@@ -525,7 +525,9 @@ def _gn_affine(stats, gamma, beta, scale, shift, *, count, num_groups, eps):
     ssg = ss.reshape(B, G, Cg).sum(-1, keepdims=True)
     n = count * Cg
     mean = sg / n
-    var = ssg / n - mean**2
+    # E[x^2] - E[x]^2 in f32 can go (more than eps) negative by catastrophic
+    # cancellation on large-mean/near-constant groups; clamp before rsqrt.
+    var = jnp.maximum(ssg / n - mean**2, 0.0)
     inv = jax.lax.rsqrt(var + eps)
     mean_c = jnp.broadcast_to(mean, (B, G, Cg)).reshape(B, F)
     inv_c = jnp.broadcast_to(inv, (B, G, Cg)).reshape(B, F)

@@ -93,12 +93,56 @@ _TOKEN_RE = re.compile(
 )
 
 
+def _scan_call_suffix(text: str, start: int) -> Optional[int]:
+    """If ``text[start] == '('`` opens a whitespace-free balanced-paren span,
+    return the index one past its closing paren, else None.
+
+    OpenFOAM keyword names may be function-call-like — ``div(phi,U)``,
+    ``div((nuEff*dev2(T(grad(U)))))`` — and must stay ONE token.  Genuine
+    lists always contain whitespace (``(0 1 2)``) or follow whitespace, so
+    the no-whitespace rule cleanly separates the two (this also keeps
+    compact label-prefixed lists like ``4(0 1 2 3)`` tokenizing as lists)."""
+    depth = 0
+    i = start
+    while i < len(text):
+        c = text[i]
+        if c in ' \t\r\n;"':
+            return None
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    return None
+
+
 def _tokenize(text: str) -> List[str]:
     tokens = []
-    for m in _TOKEN_RE.finditer(text):
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _TOKEN_RE.search(text, pos)
+        if m is None:
+            break
+        pos = m.end()
         if m.lastgroup == "comment":
             continue
-        tokens.append(m.group())
+        tok = m.group()
+        # glue function-call-like suffixes onto words: div(phi,U) etc.
+        # (purely numeric words are compact list counts — 1(5) — never keys)
+        if (
+            m.lastgroup == "word"
+            and pos < n
+            and text[pos] == "("
+            and not tok.lstrip("+-").replace(".", "", 1).isdigit()
+        ):
+            end = _scan_call_suffix(text, pos)
+            if end is not None:
+                tok += text[pos:end]
+                pos = end
+        tokens.append(tok)
     return tokens
 
 

@@ -181,6 +181,9 @@ class TrainerConfig:
     resume_from: Optional[str] = None
     # stop when the monitor hasn't improved for N validations (None = off)
     early_stopping_patience: Optional[int] = None
+    # draw the SAME eval noise every validation (for A/B comparisons); by
+    # default each validation epoch folds the epoch index into the eval RNG
+    deterministic_eval: bool = False
 
 
 @dataclasses.dataclass

@@ -114,25 +114,25 @@ class Trainer:
                     jax.profiler.stop_trace()
                     profiling = False
                     self.logger.console(f"profiler trace in {self.out_dir / 'profile'}")
-                loss = float(metrics["train/loss"])
-                epoch_losses.append(loss)
+                # No per-step host sync: fetching the loss every step forces a
+                # device->host round-trip (~28 ms dispatch on this backend)
+                # that serializes dispatch.  Values leave the device only at
+                # the log boundary; the epoch mean uses that logged subset.
                 if step % tc.log_every_n_steps == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    epoch_losses.append(metrics["train/loss"])
                     now = time.perf_counter()
-                    metrics = dict(metrics)
                     metrics["steps_per_sec"] = tc.log_every_n_steps / (now - step_tic)
                     step_tic = now
-                    self.logger.log(
-                        {k: float(v) for k, v in metrics.items()},
-                        step=step,
-                        epoch=epoch,
-                    )
+                    self.logger.log(metrics, step=step, epoch=epoch)
                 if self.time_limit is not None and time.time() - start > self.time_limit:
                     self.logger.console("train limit reached; running final validation")
                     stop = True
                     break
 
+            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
             self.logger.console(
-                f"epoch {epoch}: train/loss={np.mean(epoch_losses):.5f} ({step} steps)"
+                f"epoch {epoch}: train/loss={mean_loss:.5f} ({step} steps)"
             )
 
             final_epoch = stop or epoch == tc.max_epochs - 1
@@ -172,8 +172,15 @@ class Trainer:
         self.dm.setup("validate")
         self.task.on_eval_start("val")
         step_outputs = []
+        # Fold the epoch in so successive validations draw fresh noise: with a
+        # fixed eval RNG, epoch-over-epoch monitor deltas (the early-stopping
+        # signal) would be correlated in a way the reference protocol is not.
+        # deterministic_eval restores the fixed-noise behavior for A/B evals.
+        base = rng if self.config.trainer.deterministic_eval else jax.random.fold_in(
+            rng, 10_000 + epoch
+        )
         for i, batch in enumerate(self.dm.val_batches()):
-            eval_rng = jax.random.fold_in(rng, 1_000_000 + i)
+            eval_rng = jax.random.fold_in(base, 1_000_000 + i)
             out = self.task.eval_step(state, batch, eval_rng, "val")
             if out:
                 step_outputs.append(out)

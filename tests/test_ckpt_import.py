@@ -249,7 +249,7 @@ def test_import_checkpoint_cli_end_to_end(synthetic_root, tmp_path):
     result = subprocess.run(
         [
             sys.executable, str(repo / "scripts" / "import-checkpoint.py"),
-            str(ckpt_file), str(out_dir),
+            str(ckpt_file), str(out_dir), "--trust-pickle",
             f"data.root={synthetic_root}",
             "data.discard_first_seconds=-1", "data.val_samples=2",
             "model.u_net_levels=2", "model.batch_size=2",
