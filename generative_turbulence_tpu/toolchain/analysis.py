@@ -92,8 +92,17 @@ def homogeneous_regions(
     k = min(k, n)
 
     def kmeans(idx: np.ndarray, k_local: int) -> np.ndarray:
-        """k-means++ on the subset ``idx``; returns local assignments."""
+        """k-means++ on the subset ``idx``; returns local assignments.
+
+        The diagonal-Gaussian W2^2 is the squared Euclidean distance in the
+        (mean, sqrt(var)) feature space, so assignment uses one matmul
+        (|x|^2 - 2 x.c + |c|^2) and center updates use bincounts — the same
+        algorithm as the reference's hand-rolled loop
+        (``scripts/homogeneous-regions.py:16-25``), vectorized.
+        """
         m, v = mean[idx], var[idx]
+        phi = np.concatenate([m, np.sqrt(v)], axis=-1)  # (n, 6)
+        phi_sq = (phi**2).sum(axis=-1)
         # k-means++ seeding under W2
         centers = [int(rng.integers(len(idx)))]
         d2 = _gaussian_w2_sq(m, v, m[centers[0]], v[centers[0]])
@@ -102,19 +111,23 @@ def homogeneous_regions(
             nxt = int(rng.choice(len(idx), p=probs))
             centers.append(nxt)
             d2 = np.minimum(d2, _gaussian_w2_sq(m, v, m[nxt], v[nxt]))
-        cm, cv = m[centers], v[centers]
+        cm, cv = m[centers].copy(), v[centers].copy()
 
         assign = np.zeros(len(idx), dtype=np.int64)
         for _ in range(max_iters):
-            D = _gaussian_w2_sq(m[:, None], v[:, None], cm[None], cv[None])
+            cphi = np.concatenate([cm, np.sqrt(cv)], axis=-1)  # (k, 6)
+            D = phi_sq[:, None] - 2.0 * (phi @ cphi.T) + (cphi**2).sum(axis=-1)
             new_assign = D.argmin(axis=1)
             if np.array_equal(new_assign, assign):
                 break
             assign = new_assign
-            for c in range(k_local):
-                sel = assign == c
-                if sel.any():
-                    cm[c], cv[c] = m[sel].mean(axis=0), v[sel].mean(axis=0)
+            counts = np.bincount(assign, minlength=k_local).astype(np.float64)
+            safe = np.maximum(counts, 1.0)
+            for d in range(3):
+                sm = np.bincount(assign, weights=m[:, d], minlength=k_local)
+                sv = np.bincount(assign, weights=v[:, d], minlength=k_local)
+                cm[:, d] = np.where(counts > 0, sm / safe, cm[:, d])
+                cv[:, d] = np.where(counts > 0, sv / safe, cv[:, d])
         return assign
 
     assignments = kmeans(np.arange(n), k)

@@ -90,6 +90,8 @@ def foam_case_to_h5(
     *,
     drop_first_time: bool = True,
     n_workers: int = 8,
+    frames_override: Optional[List[Dict[str, np.ndarray]]] = None,
+    times_override: Optional[List[float]] = None,
 ) -> Path:
     """Convert a solved OpenFOAM case into the ``data.h5`` schema.
 
@@ -108,10 +110,16 @@ def foam_case_to_h5(
     for f in faces:
         assert len(f) == 4, "channel meshes must be quad-faced"
 
-    times = [(t, d) for t, d in _time_dirs(case_dir) if t > 0]
-    if drop_first_time and len(times) > 1:
-        times = times[1:]
-    assert times, f"no solved time directories in {case_dir}"
+    if frames_override is not None:
+        assert times_override is not None and len(times_override) == len(
+            frames_override
+        )
+        times = [(t, None) for t in times_override]
+    else:
+        times = [(t, d) for t, d in _time_dirs(case_dir) if t > 0]
+        if drop_first_time and len(times) > 1:
+            times = times[1:]
+        assert times, f"no solved time directories in {case_dir}"
 
     # Boundary conditions from the initial-condition dicts in 0/.
     zero_dir = case_dir / "0"
@@ -131,8 +139,11 @@ def foam_case_to_h5(
                 out[field.lower()] = read_internal_field(f, n_cells)
         return out
 
-    with ThreadPoolExecutor(max_workers=n_workers) as pool:
-        frames = list(pool.map(read_time, times))
+    if frames_override is not None:
+        frames = frames_override
+    else:
+        with ThreadPoolExecutor(max_workers=n_workers) as pool:
+            frames = list(pool.map(read_time, times))
 
     face2cell = np.full((len(faces), 2), -1, dtype=np.int64)
     face2cell[:, 0] = owner

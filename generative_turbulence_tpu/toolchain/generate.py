@@ -117,6 +117,24 @@ def domain_mask(config: ChannelConfig) -> np.ndarray:
     return inside
 
 
+def _mock_case_flow(config: ChannelConfig, seed: int):
+    """Build the structured synthetic-turbulence generator for a case."""
+    from .mockflow import MockFlowCase, MockFlowParams
+
+    inside = domain_mask(config)
+    holes = np.asarray(
+        [[list(b.lo), list(b.hi)] for b in config.scaled_holes()], dtype=np.int64
+    ).reshape(-1, 2, 3)
+    return MockFlowCase(
+        inside,
+        holes,
+        h=float(config.h[0]),
+        params=MockFlowParams(inflow=config.inflow),
+        seed=seed,
+        nu=config.nu,
+    )
+
+
 def mock_solve(
     case_dir: Path,
     config: ChannelConfig,
@@ -127,15 +145,15 @@ def mock_solve(
     """Write synthetic solved time directories onto a generated case.
 
     Stand-in for the OpenFOAM run so the conversion pipeline (foam2h5 +
-    grid-embedding) is testable offline.  Fields are smooth random + plug
-    flow, zero on no-slip cells is NOT enforced (the solver enforces BCs on
-    faces, not cells).
+    grid-embedding) is testable offline.  Fields come from the structured
+    synthetic-turbulence generator (``mockflow.MockFlowCase``): potential
+    mean flow + wake deficit + von Karman fluctuations, geometry-dependent.
+    Zero on no-slip cells is NOT enforced (the solver enforces BCs on faces,
+    not cells).
     """
     from .foam_io import write_field
 
-    rng = np.random.default_rng(seed)
-    inside = domain_mask(config)
-    n_cells = int(inside.sum())
+    flow = _mock_case_flow(config, seed)
 
     bf_specs = {
         "U": {
@@ -170,12 +188,93 @@ def mock_solve(
         t = (i + 1) * config.write_interval
         tdir = Path(case_dir) / f"{t:.6g}"
         tdir.mkdir(exist_ok=True)
-        u = rng.normal(0, 0.2 * config.inflow, size=(n_cells, 3))
-        u[:, 0] += config.inflow
-        p = rng.normal(0, 5.0, size=(n_cells, 1))
-        k = np.abs(rng.normal(0, 0.5, size=(n_cells, 1)))
-        nut = np.abs(rng.normal(0, config.nu, size=(n_cells, 1)))
-        write_field(tdir / "U", "U", u, bf_specs["U"], dims["U"])
-        write_field(tdir / "p", "p", p[:, 0], bf_specs["p"], dims["p"])
-        write_field(tdir / "k", "k", k[:, 0], bf_specs["k"], dims["k"])
-        write_field(tdir / "nut", "nut", nut[:, 0], bf_specs["nut"], dims["nut"])
+        fields = flow.cell_frame(i)
+        write_field(tdir / "U", "U", fields["u"], bf_specs["U"], dims["U"])
+        write_field(tdir / "p", "p", fields["p"], bf_specs["p"], dims["p"])
+        write_field(tdir / "k", "k", fields["k"], bf_specs["k"], dims["k"])
+        write_field(
+            tdir / "nut", "nut", fields["nut"], bf_specs["nut"], dims["nut"]
+        )
+
+
+def mock_solve_direct(
+    case_dir: Path,
+    config: ChannelConfig,
+    *,
+    n_frames: int = 4,
+    seed: int = 0,
+) -> Path:
+    """Mock-solve straight into ``data.h5``, skipping the ASCII time dirs.
+
+    The ASCII OpenFOAM field format costs ~3x the storage of the float32
+    HDF5 and dominates generation time at dataset scale; this path hands the
+    in-memory frames to the converter (mesh/BCs still come from the real
+    case files written by ``generate_case``), producing a byte-equivalent
+    ``data.h5`` schema.
+    """
+    from .convert import foam_case_to_h5
+
+    flow = _mock_case_flow(config, seed)
+    times = [(i + 1) * config.write_interval for i in range(n_frames)]
+    frames = [flow.cell_frame(i) for i in range(n_frames)]
+    return foam_case_to_h5(
+        case_dir, frames_override=frames, times_override=times
+    )
+
+
+def refresh_mock_frames(
+    case_dir: Path,
+    config: ChannelConfig,
+    *,
+    n_frames: int = 4,
+    seed: int = 0,
+) -> Path:
+    """Replace only ``data/*`` of an existing case's data.h5 with freshly
+    mock-solved frames, keeping the mesh/grid/BC groups (the geometry is
+    unchanged — re-meshing and re-embedding would be wasted work).  Stale
+    ASCII time directories from a previous ASCII mock-solve are removed so
+    the case dir stays self-consistent."""
+    import shutil
+
+    import h5py
+
+    case_dir = Path(case_dir)
+    h5_file = case_dir / "data.h5"
+    flow = _mock_case_flow(config, seed)
+
+    with h5py.File(h5_file, "r+") as f:
+        n_cells = f["grid/cell_idx"].shape[0]
+        del f["data"]
+        data = f.create_group("data")
+        data.create_dataset(
+            "times",
+            data=np.asarray(
+                [(i + 1) * config.write_interval for i in range(n_frames)]
+            ),
+        )
+        shapes = {"u": (n_cells, 3), "p": (n_cells,), "k": (n_cells,), "nut": (n_cells,)}
+        dsets = {
+            key: data.create_dataset(
+                key, shape=(n_frames, *shape), dtype=np.float32
+            )
+            for key, shape in shapes.items()
+        }
+        for i in range(n_frames):
+            fields = flow.cell_frame(i)
+            assert fields["u"].shape[0] == n_cells
+            for key, ds in dsets.items():
+                ds[i] = fields[key]
+
+    # drop stale ASCII time dirs (they carried the previous mock's fields)
+    for child in case_dir.iterdir():
+        if child.is_dir() and _is_float(child.name) and float(child.name) > 0:
+            shutil.rmtree(child)
+    return h5_file
+
+
+def _is_float(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False

@@ -11,6 +11,7 @@ converted to data.h5 (offline pipeline; for real physics run OpenFOAM via
 """
 
 import argparse
+import zlib
 from pathlib import Path
 
 from _common import REPO_ROOT  # noqa: F401
@@ -20,6 +21,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("out_root")
     ap.add_argument("--mock-solve", action="store_true")
+    ap.add_argument(
+        "--mock-direct", action="store_true",
+        help="mock-solve straight into data.h5 (no ASCII time dirs; ~3x "
+        "less disk, required for large --frames)",
+    )
+    ap.add_argument(
+        "--refresh-frames", action="store_true",
+        help="regenerate only the data/* frames (and the frame-derived "
+        "analyses) of already-generated cases, reusing mesh/grid groups; "
+        "also removes stale ASCII time dirs",
+    )
     ap.add_argument("--frames", type=int, default=8)
     ap.add_argument("--scale", type=float, default=1.0)
     ap.add_argument("--n-subdomains", type=int, default=1)
@@ -41,6 +53,8 @@ def main():
         ChannelConfig,
         generate_case,
         mock_solve,
+        mock_solve_direct,
+        refresh_mock_frames,
     )
     from generative_turbulence_tpu.toolchain.shapes import (
         dataset_split,
@@ -76,12 +90,28 @@ def main():
         if args.resume and all((case_dir / a).exists() for a in artifacts):
             print(f"skipping {name} (complete)")
             continue
-        generate_case(case_dir, config)
-        print(f"generated {name}", flush=True)
-        if args.mock_solve:
-            mock_solve(case_dir, config, n_frames=args.frames, seed=hash(name) % 2**31)
-            h5 = foam_case_to_h5(case_dir)
+        # deterministic per-case seed (builtin str hash is process-salted)
+        seed = zlib.crc32(name.encode()) % 2**31
+        if args.refresh_frames:
+            h5 = case_dir / "data.h5"
+            assert h5.is_file(), f"--refresh-frames: no data.h5 in {case_dir}"
+            refresh_mock_frames(
+                case_dir, config, n_frames=args.frames, seed=seed
+            )
+            print(f"refreshed {name}", flush=True)
+        else:
+            generate_case(case_dir, config)
+            print(f"generated {name}", flush=True)
+        if args.mock_solve or args.mock_direct:
+            if args.mock_direct:
+                h5 = mock_solve_direct(
+                    case_dir, config, n_frames=args.frames, seed=seed
+                )
+            else:
+                mock_solve(case_dir, config, n_frames=args.frames, seed=seed)
+                h5 = foam_case_to_h5(case_dir)
             add_grid_embedding(h5, case_dir)
+        if args.mock_solve or args.mock_direct or args.refresh_frames:
             mean_flow(h5, discard_first_seconds=-1.0)
             homogeneous_regions(h5, k=16, discard_first_seconds=-1.0)
             max_mean_tke(h5, discard_first_seconds=-1.0)
@@ -95,7 +125,7 @@ def main():
             if not link.exists():
                 link.symlink_to(Path("..") / "cases" / name)
 
-    if args.mock_solve:
+    if args.mock_solve or args.mock_direct or args.refresh_frames:
         train_files = [root / "train" / n / "data.h5" for n in split["train"]]
         dataset_stats(train_files, root / "stats.pickle")
         print("wrote stats.pickle")
