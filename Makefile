@@ -6,10 +6,15 @@ CASE ?=
 
 .PHONY: test bench native shapes of-solve postprocess stats train clean
 
+# fast set (slow-marked compile/e2e/subprocess tests excluded): ~8 min on 1 CPU
 test:
-	$(PYTHON) -m pytest tests/ -x -q
+	$(PYTHON) -m pytest tests/ -x -q -m "not slow"
 
-# parallel run (pytest-xdist); the suite is compile-heavy, ~25 min sequential
+# everything, including the multi-minute compile/e2e tests (~50 min on 1 CPU)
+test-all:
+	$(PYTHON) -m pytest tests/ -q
+
+# parallel run (pytest-xdist, if more CPUs are available)
 test-fast:
 	$(PYTHON) -m pytest tests/ -q -n 4
 

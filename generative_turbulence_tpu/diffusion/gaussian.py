@@ -220,7 +220,12 @@ class GaussianDiffusion:
         x_t: jnp.ndarray,
         t: jnp.ndarray,
         grid: GridMap,
+        inside: Optional[jnp.ndarray] = None,
     ) -> ModelPrediction:
+        """``inside`` overrides the dense in-domain mask (the flat-state
+        sampler passes a flattened one broadcastable against its state)."""
+        if inside is None:
+            inside = grid.inside_mask[..., None]
         c = self.constants
         out = eps_fn(x_t, t)
         if self.learned_variances:
@@ -243,7 +248,7 @@ class GaussianDiffusion:
             x_start = self.predict_start_from_noise(x_t, t, pred_noise)
         if not self.noise_bcs:
             # Pin the prediction to the (clean) BC values carried by x_t.
-            x_start = jnp.where(grid.inside_mask[..., None], x_start, x_t)
+            x_start = jnp.where(inside, x_start, x_t)
         if self.clip_denoised:
             x_start = jnp.clip(x_start, -1.0, 1.0)
 
@@ -309,6 +314,33 @@ class GaussianDiffusion:
 
     # ---- ancestral (DDPM) sampling ------------------------------------------
 
+    def _flat_sampler_views(self, eps_fn, x_bcs: jnp.ndarray, grid: GridMap):
+        """Flattened (B, N) views for the sampler state.
+
+        The dense state (B, X, Y, Z, F) pads F=4 channels to 128 TPU lanes —
+        up to 32x HBM traffic on every elementwise op of the diffusion
+        algebra, which dominates the non-UNet part of a sampling step.  The
+        scan therefore carries (B, X*Y*Z*F): near-zero lane padding.  The
+        state is densified only for the eps-network call (one layout change
+        each way per step, instead of padded traffic on every op).
+        """
+        shape = x_bcs.shape
+        B = shape[0]
+
+        def flat_eps(x_flat, t):
+            out = eps_fn(x_flat.reshape(shape), t)
+            if self.learned_variances:
+                raw, w = jnp.split(out, 2, axis=-1)
+                return jnp.concatenate(
+                    [raw.reshape(B, -1), w.reshape(B, -1)], axis=-1
+                )
+            return out.reshape(B, -1)
+
+        inside_flat = jnp.broadcast_to(
+            grid.inside_mask[..., None], shape[1:]
+        ).reshape(-1)
+        return flat_eps, x_bcs.reshape(B, -1), inside_flat
+
     def p_sample_loop(
         self,
         eps_fn,
@@ -321,11 +353,13 @@ class GaussianDiffusion:
 
         x_bcs carries the boundary values (a grid embedding of any frame — only
         its non-domain cells matter).  ``start_from`` begins from a partially
-        noised x_bcs at that timestep instead of pure noise.
+        noised x_bcs at that timestep instead of pure noise.  The scan state
+        is kept flat (see ``_flat_sampler_views``).
         """
-        inside = grid.inside_mask[..., None]
-        B = x_bcs.shape[0]
+        out_shape = x_bcs.shape
+        B = out_shape[0]
         T = self.num_timesteps if start_from is None else int(start_from)
+        eps_fn, x_bcs, inside = self._flat_sampler_views(eps_fn, x_bcs, grid)
 
         rng_init, rng_scan = jax.random.split(rng)
         if start_from is None:
@@ -341,7 +375,7 @@ class GaussianDiffusion:
         def step(x_t, scan_in):
             t_scalar, rng_t = scan_in
             t = jnp.full((B,), t_scalar, dtype=jnp.int32)
-            pred = self.model_predictions(eps_fn, x_t, t, grid)
+            pred = self.model_predictions(eps_fn, x_t, t, grid, inside=inside)
 
             rng_noise, rng_bc = jax.random.split(rng_t)
             noise = jax.random.normal(rng_noise, x_t.shape, dtype=x_t.dtype)
@@ -365,7 +399,7 @@ class GaussianDiffusion:
         x_t, _ = jax.lax.scan(step, x_t, (ts, rngs))
 
         # Impose the exact BC values regardless of the noising mode.
-        return jnp.where(inside, x_t, x_bcs)
+        return jnp.where(inside, x_t, x_bcs).reshape(out_shape)
 
     # ---- DDIM sampling (fast path; addition over the reference) -------------
 
@@ -382,12 +416,14 @@ class GaussianDiffusion:
         """DDIM sampling over an evenly spaced timestep subsequence.
 
         eta = 0 gives deterministic DDIM; eta = 1 recovers ancestral variance
-        on the subsequence.
+        on the subsequence.  The scan state is kept flat (see
+        ``_flat_sampler_views``).
         """
         c = self.constants
-        inside = grid.inside_mask[..., None]
-        B = x_bcs.shape[0]
+        out_shape = x_bcs.shape
+        B = out_shape[0]
         T = self.num_timesteps
+        eps_fn, x_bcs, inside = self._flat_sampler_views(eps_fn, x_bcs, grid)
 
         taus = np.linspace(0, T - 1, num_steps).round().astype(np.int32)
         taus_prev = np.concatenate([[-1], taus[:-1]]).astype(np.int32)
@@ -402,7 +438,7 @@ class GaussianDiffusion:
         def step(x_t, scan_in):
             tau, tau_prev, rng_t = scan_in
             t = jnp.full((B,), tau, dtype=jnp.int32)
-            pred = self.model_predictions(eps_fn, x_t, t, grid)
+            pred = self.model_predictions(eps_fn, x_t, t, grid, inside=inside)
             x0 = pred.x_start
             # Re-derive the noise consistent with the (possibly clipped/pinned)
             # x0 so the update stays on the DDIM trajectory.
@@ -441,4 +477,4 @@ class GaussianDiffusion:
         x_t, _ = jax.lax.scan(
             step, x_t, (jnp.asarray(taus[::-1].copy()), jnp.asarray(taus_prev[::-1].copy()), rngs)
         )
-        return jnp.where(inside, x_t, x_bcs)
+        return jnp.where(inside, x_t, x_bcs).reshape(out_shape)

@@ -206,6 +206,7 @@ def test_unknown_key_raises():
 
 
 @needs_reference
+@pytest.mark.slow
 def test_import_checkpoint_cli_end_to_end(synthetic_root, tmp_path):
     """Craft a Lightning-style .ckpt from the reference's real model classes,
     run scripts/import-checkpoint.py, and sample from the imported state."""

@@ -332,6 +332,8 @@ class TestCellBucketing:
             shapes.add(batch.cells.shape[1:] + batch.grid.cell_idx.shape)
         assert len(shapes) == 1
 
+    @pytest.mark.slow
+
     def test_training_loss_invariant_to_bucketing(self, synthetic_root):
         import jax
 

@@ -44,6 +44,9 @@ def _run_worker(root, out_json, extra_env, timeout=600):
     )
 
 
+@pytest.mark.slow
+
+
 def test_two_process_cluster_matches_single_process(synthetic_root, tmp_path):
     port = _free_port()
     coordinator = f"localhost:{port}"

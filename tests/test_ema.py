@@ -32,6 +32,9 @@ def _task(synthetic_root, tmp_path, ema_decay):
     return task, batch
 
 
+@pytest.mark.slow
+
+
 def test_ema_tracks_params(synthetic_root, tmp_path):
     task, batch = _task(synthetic_root, tmp_path, ema_decay=0.5)
     state = task.init_state(jax.random.PRNGKey(0), batch)
@@ -48,6 +51,9 @@ def test_ema_tracks_params(synthetic_root, tmp_path):
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(sp)[0]), e1, rtol=1e-6
     )
+
+
+@pytest.mark.slow
 
 
 def test_ema_off_by_default(synthetic_root, tmp_path):

@@ -131,6 +131,7 @@ class TestMetrics:
 
 
 class TestSinkhornSolverPath:
+    @pytest.mark.slow
     def test_wasserstein_metric_sinkhorn_close_to_exact(self, val_setup):
         repo, meta, stats = val_setup
         samples = repo.read(0, [2, 5])

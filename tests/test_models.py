@@ -60,6 +60,9 @@ def test_voxel_attention_kinds(kind):
     assert np.all(np.isfinite(np.asarray(y)))
 
 
+@pytest.mark.slow
+
+
 def test_unet_odd_shapes_roundtrip():
     # The interpolation U-Net must handle non-power-of-two grids (incl. the
     # floor-at-3 rule) and return the exact input spatial shape.
@@ -118,6 +121,9 @@ def test_dilresnet_forward():
     assert np.all(np.isfinite(np.asarray(y)))
 
 
+@pytest.mark.slow
+
+
 def test_tfnet_forward():
     rng = jax.random.PRNGKey(0)
     cond = Conditioning(cell_type_embedding_dim=8)
@@ -133,6 +139,9 @@ def test_tfnet_forward():
     y = model.apply(params, x, cell_types)
     assert y.shape == (2, 16, 12, 10, 4)
     assert np.all(np.isfinite(np.asarray(y)))
+
+
+@pytest.mark.slow
 
 
 def test_geometry_embedding_path():

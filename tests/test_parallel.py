@@ -15,6 +15,9 @@ def test_create_mesh_shapes():
     assert create_mesh(None) is None
 
 
+@pytest.mark.slow
+
+
 def test_dryrun_entrypoints():
     import __graft_entry__ as g
 
@@ -25,6 +28,7 @@ def test_dryrun_entrypoints():
 
 
 @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4)])
+@pytest.mark.slow
 def test_data_parallel_training_matches_single_device(
     synthetic_root, tmp_path, mesh_shape
 ):
@@ -77,6 +81,9 @@ def test_data_parallel_training_matches_single_device(
     p1 = jax.tree_util.tree_leaves(state1.params)[0]
     p2 = jax.tree_util.tree_leaves(state2.params)[0]
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.slow
 
 
 def test_sharded_sampling_runs(synthetic_root, tmp_path):

@@ -24,6 +24,9 @@ def _base_overrides(synthetic_root, out_dir):
     ]
 
 
+@pytest.mark.slow
+
+
 def test_resume_from_checkpoint(synthetic_root, tmp_path):
     from generative_turbulence_tpu.training import Trainer, parse_cli_overrides
     from generative_turbulence_tpu.training.factory import instantiate_data_and_task
@@ -44,6 +47,9 @@ def test_resume_from_checkpoint(synthetic_root, tmp_path):
     trainer2.fit()
     # resumed state continues counting optimizer steps
     assert int(trainer2.state.step) == 2 * step1
+
+
+@pytest.mark.slow
 
 
 def test_early_stopping(synthetic_root, tmp_path):

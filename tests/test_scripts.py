@@ -50,12 +50,18 @@ def trained_run(synthetic_root, tmp_path_factory):
     return out_dir
 
 
+@pytest.mark.slow
+
+
 def test_train_cli_produces_artifacts(trained_run):
     assert (trained_run / "metrics.jsonl").is_file()
     assert (trained_run / "checkpoints" / "last").exists()
     assert (trained_run / "checkpoints" / "config.json").is_file()
     cfg = json.loads((trained_run / "checkpoints" / "config.json").read_text())
     assert cfg["model"]["sampler"] == "ddim"
+
+
+@pytest.mark.slow
 
 
 def test_eval_ckpt_cli(trained_run, tmp_path):
@@ -66,6 +72,9 @@ def test_eval_ckpt_cli(trained_run, tmp_path):
     metrics = json.loads(res.stdout)
     assert any(k.startswith("val/") for k in metrics)
     assert np.isfinite(metrics["val/tke"])
+
+
+@pytest.mark.slow
 
 
 def test_evaluate_runtime_cli(trained_run):

@@ -66,6 +66,9 @@ def tiny_config(synthetic_root, tmp_path):
     ).resolved()
 
 
+@pytest.mark.slow
+
+
 def test_diffusion_end_to_end(tiny_config, synthetic_root, tmp_path):
     from generative_turbulence_tpu.training import Trainer
     from generative_turbulence_tpu.training.factory import instantiate_data_and_task
@@ -105,6 +108,9 @@ def test_diffusion_end_to_end(tiny_config, synthetic_root, tmp_path):
     leaf0 = jax.tree_util.tree_leaves(restored.params)[0]
     leaf0_orig = jax.tree_util.tree_leaves(trainer.state.params)[0]
     np.testing.assert_allclose(np.asarray(leaf0), np.asarray(leaf0_orig))
+
+
+@pytest.mark.slow
 
 
 def test_dilresnet_end_to_end(synthetic_root, tmp_path):
@@ -147,6 +153,9 @@ def test_dilresnet_end_to_end(synthetic_root, tmp_path):
     # running delta stats were tracked
     assert int(trainer.state.n_tracked) > 0
     assert not np.allclose(np.asarray(trainer.state.dx_var), 1.0)
+
+
+@pytest.mark.slow
 
 
 def test_tfnet_end_to_end(synthetic_root, tmp_path):
