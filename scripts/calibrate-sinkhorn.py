@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Calibrate the on-device masked-Sinkhorn Wasserstein against the exact EMD.
+
+At shapes scale (hundreds-to-thousands of regions of up to 512 cells) the
+entropic solver (reg = 0.02 * mean cost, 300 iters) is a biased estimator of
+the exact transport the reference computes (``turbdiff/models/metrics.py:503-554``).
+This script measures that bias on a REAL case: it evaluates the full
+``WassersteinMetric`` with both solvers on early-window vs late-window frames
+of one case (the data-floor protocol) and records values, relative error,
+and wall-clock.
+
+    python scripts/calibrate-sinkhorn.py <data_root> [--case val/block-pair-tall]
+        [--samples 8] [--out docs/runs/sinkhorn-calibration.json]
+"""
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+from _common import REPO_ROOT  # noqa: F401
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("data_root")
+    ap.add_argument("--case", default="val/block-pair-tall")
+    ap.add_argument("--samples", type=int, default=8)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--workers", type=int, default=None)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from generative_turbulence_tpu.data import CaseRepository, Variable
+    from generative_turbulence_tpu.data.schema import FieldStats
+    from generative_turbulence_tpu.eval.metrics import WassersteinMetric
+
+    root = Path(args.data_root)
+    stats = FieldStats.from_file(root / "stats.pickle")
+    file = root / args.case / "data.h5"
+    repo = CaseRepository([file], (Variable.U, Variable.P))
+
+    n_frames = len(repo.times[0])
+    k = args.samples
+    early = np.linspace(0, n_frames // 2 - 1, k).round().astype(int).tolist()
+    late = (
+        np.linspace(n_frames // 2, n_frames - 1, k).round().astype(int).tolist()
+    )
+    samples = repo.read(0, sorted(set(early)))
+    data = repo.read(0, sorted(set(late)))
+
+    results = {"case": args.case, "samples": k}
+    for solver in ("sinkhorn", "exact"):
+        tic = time.time()
+        metric = WassersteinMetric(max_workers=args.workers, solver=solver)
+        out = metric(samples, data, stats)
+        wall = time.time() - tic
+        results[solver] = {"wasserstein": out.get("wasserstein"), "seconds": wall}
+        print(f"{solver}: {out.get('wasserstein')} ({wall:.0f}s)", flush=True)
+
+    ex, sk = results["exact"]["wasserstein"], results["sinkhorn"]["wasserstein"]
+    if ex:
+        results["relative_error"] = abs(sk - ex) / abs(ex)
+        print(f"relative error: {results['relative_error']:.4f}")
+
+    out_path = Path(args.out) if args.out else Path("docs/runs/sinkhorn-calibration.json")
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    out_path.write_text(json.dumps(results, indent=2))
+    print(f"wrote {out_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -20,6 +20,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 faulthandler.enable()
+# SIGUSR1 dumps all thread stacks without killing the run — the only way to
+# see where a process blocked on the remote-TPU tunnel is stuck.
+try:
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)
+except (ImportError, AttributeError, ValueError):
+    pass
 
 
 def main(argv=None):
