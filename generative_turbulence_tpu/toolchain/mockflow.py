@@ -28,6 +28,7 @@ import dataclasses
 from typing import Dict, Optional, Tuple
 
 import numpy as np
+from scipy import fft as sfft
 from scipy import sparse
 from scipy.ndimage import gaussian_filter
 from scipy.sparse.linalg import cg
@@ -231,6 +232,23 @@ class MockFlowCase:
         ).astype(np.float32) * inside
 
         self._spec_amp = self._spectrum_amplitude(inside.shape, p.integral_scale)
+        # Precompute the divergence-free projection arrays once (float32):
+        # rebuilding these complex broadcasts per frame dominated generation.
+        nx, ny, nz = inside.shape
+        kx = (np.fft.fftfreq(nx) * 2 * np.pi).astype(np.float32)
+        ky = (np.fft.fftfreq(ny) * 2 * np.pi).astype(np.float32)
+        kz = (np.fft.rfftfreq(nz) * 2 * np.pi).astype(np.float32)
+        half = (nx, ny, kz.size)
+        self._kvec = np.stack(
+            [
+                np.broadcast_to(kx[:, None, None], half),
+                np.broadcast_to(ky[None, :, None], half),
+                np.broadcast_to(kz[None, None, :], half),
+            ]
+        ).copy()
+        k2 = np.sum(self._kvec**2, axis=0)
+        k2[0, 0, 0] = 1.0
+        self._kvec_over_k2 = (self._kvec / k2[None]).astype(np.float32)
         self._state: Optional[np.ndarray] = None
 
         # Bernoulli mean pressure (rho = 1): stagnation ahead, suction in the
@@ -252,30 +270,18 @@ class MockFlowCase:
             # sqrt(E(k) / 4 pi k^2) with von Karman E(k) ~ (k/k0)^4/(1+(k/k0)^2)^(17/6)
             amp = (kk / k0) ** 2 / (1 + (kk / k0) ** 2) ** (17.0 / 12.0) / kk
         amp[kk == 0] = 0.0
-        return amp
+        return amp.astype(np.float32)
 
     def _fresh_noise(self) -> np.ndarray:
         """Unit-variance divergence-free correlated noise, (X, Y, Z, 3)."""
         nx, ny, nz = self.inside.shape
-        w = self.rng.standard_normal((3, nx, ny, nz))
-        wh = np.fft.rfftn(w, axes=(1, 2, 3))
+        w = self.rng.standard_normal((3, nx, ny, nz)).astype(np.float32)
+        wh = sfft.rfftn(w, axes=(1, 2, 3))  # complex64 (scipy preserves f32)
         wh *= self._spec_amp[None]
         # project divergence-free: u_i -= k_i (k . u) / k^2
-        kx = np.fft.fftfreq(nx) * 2 * np.pi
-        ky = np.fft.fftfreq(ny) * 2 * np.pi
-        kz = np.fft.rfftfreq(nz) * 2 * np.pi
-        kvec = np.stack(
-            [
-                np.broadcast_to(kx[:, None, None], wh.shape[1:]),
-                np.broadcast_to(ky[None, :, None], wh.shape[1:]),
-                np.broadcast_to(kz[None, None, :], wh.shape[1:]),
-            ]
-        )
-        k2 = np.sum(kvec**2, axis=0)
-        k2[0, 0, 0] = 1.0
-        dot = np.sum(kvec * wh, axis=0)
-        wh -= kvec * (dot / k2)[None]
-        f = np.fft.irfftn(wh, s=(nx, ny, nz), axes=(1, 2, 3))
+        dot = np.sum(self._kvec * wh, axis=0)
+        wh -= self._kvec_over_k2 * dot[None]
+        f = sfft.irfftn(wh, s=(nx, ny, nz), axes=(1, 2, 3))
         # ONE scalar normalizer: per-component scaling would break the
         # divergence-free projection
         f /= f.std()
