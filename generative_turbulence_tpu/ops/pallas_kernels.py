@@ -358,34 +358,11 @@ conv3d_3x3.defvjp(_conv3d_3x3_fwd, _conv3d_3x3_bwd)
 # kernel + 5.3 ms pad-prep vs ~23 ms fusion + ~10 ms conv+GN overhead in the
 # full model), but engaging it per-ConvBlock LOSES end-to-end (f32 fwd 287 ->
 # 348 ms; bf16 226 -> 300 ms): each call pays layout prep/copies and XLA
-# loses its conv+GN fusions.  It therefore ships OFF by default; the win
-# requires keeping activations in the padded-flat layout across a whole
-# ConvBlock chain (conv + GroupNorm + FiLM + SiLU fused) — which is what
-# ``fused_double_conv_block`` below does.
-PALLAS_CONV_ENABLED = os.environ.get("GT_PALLAS_CONV") == "1"
-MIN_SPATIAL_FOR_PALLAS_CONV = 64 * 24 * 24
-MAX_CHANNELS_FOR_PALLAS_CONV = 160
-
-
-def conv3d_3x3_dispatch(
-    x: jnp.ndarray,
-    w: jnp.ndarray,
-    b: Optional[jnp.ndarray],
-    enabled: Optional[bool] = None,
-) -> Optional[jnp.ndarray]:
-    """Run the Pallas conv if enabled and the workload fits its envelope."""
-    if enabled is None:
-        enabled = PALLAS_CONV_ENABLED
-    if not enabled or not pallas_available():
-        return None
-    B, X, Y, Z, C = x.shape
-    if X * Y * Z < MIN_SPATIAL_FOR_PALLAS_CONV:
-        return None
-    if C > MAX_CHANNELS_FOR_PALLAS_CONV or w.shape[-1] > MAX_CHANNELS_FOR_PALLAS_CONV:
-        return None
-    if b is None:
-        b = jnp.zeros((w.shape[-1],), x.dtype)
-    return conv3d_3x3(x, w, b)
+# loses its conv+GN fusions.  ``conv3d_3x3`` therefore stays a measured,
+# tested experiment with NO model-graph dispatch; the production-relevant
+# descendant is the fused ConvBlock chain (``fused_double_conv_block``)
+# below, which keeps activations in the padded-flat layout across a whole
+# conv + GroupNorm + FiLM + SiLU chain (opt-in GT_FUSED_BLOCKS=1).
 
 
 # ---------------------------------------------------------------------------

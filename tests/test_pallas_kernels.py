@@ -1,7 +1,11 @@
 """Pallas kernels vs reference implementations (interpret mode on CPU)."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
 
 import jax
 import jax.numpy as jnp
@@ -75,23 +79,18 @@ class TestPallasConv3d:
         for a, r in zip(g_ours, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(r), rtol=1e-5, atol=1e-5)
 
-    def test_dispatch_envelope(self):
-        from generative_turbulence_tpu.ops.pallas_kernels import (
-            conv3d_3x3_dispatch,
-            pallas_available,
-        )
+    def test_no_model_graph_dispatch(self):
+        # The per-conv Pallas kernel is a measured experiment, not a model
+        # path: nothing in the package may dispatch to it (it loses
+        # end-to-end; see the status note in pallas_kernels.py).
+        import subprocess
 
-        x = jnp.zeros((1, 64, 24, 24, 8))
-        w = jnp.zeros((3, 3, 3, 8, 8))
-        out = conv3d_3x3_dispatch(x, w, None, enabled=True)
-        if pallas_available():
-            assert out is not None
-        else:
-            assert out is None  # CPU: model falls back to the XLA path
-        # Too small a grid: always None.
-        assert conv3d_3x3_dispatch(jnp.zeros((1, 8, 8, 8, 8)), w, None, enabled=True) is None
-        # Ships off by default: the kernel loses end-to-end in the model.
-        assert conv3d_3x3_dispatch(x, w, None) is None
+        res = subprocess.run(
+            ["grep", "-rn", "conv3d_3x3", "--include=*.py",
+             "generative_turbulence_tpu/models", "generative_turbulence_tpu/training"],
+            capture_output=True, text=True, cwd=REPO_ROOT,
+        )
+        assert res.stdout == "", f"unexpected model-graph use: {res.stdout}"
 
 
 class TestFusedDoubleConvBlock:
