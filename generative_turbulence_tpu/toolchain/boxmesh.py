@@ -45,8 +45,11 @@ _FACE_CORNERS = {
 def build_polymesh(inside: np.ndarray, h: Tuple[float, float, float]):
     """Build mesh arrays from a (nx, ny, nz) bool domain mask.
 
-    Returns (points (P,3) float, faces list[(4,)], owner (F,), neighbour (Fi,),
+    Returns (points (P,3) float, faces (F,4) int, owner (F,), neighbour (Fi,),
     patches [(name, type, start, n)], cell_centers (C,3)).
+
+    Fully vectorized: the per-cell python loop cost ~3 minutes per shapes-size
+    case (440k cells, 1.3M faces); this runs in a few seconds.
     """
     nx, ny, nz = inside.shape
     cell_id = -np.ones(inside.shape, dtype=np.int64)
@@ -54,87 +57,121 @@ def build_polymesh(inside: np.ndarray, h: Tuple[float, float, float]):
 
     # Point grid ids (raveled over the (nx+1, ny+1, nz+1) lattice).
     P = (nx + 1, ny + 1, nz + 1)
-
-    def pid(px, py, pz):
-        return (px * P[1] + py) * P[2] + pz
-
-    internal: List[Tuple[int, int, Tuple[int, ...]]] = []  # (owner, neigh, quad)
-    patches: Dict[str, List[Tuple[int, Tuple[int, ...]]]] = {
-        "inlets": [],
-        "outlets": [],
-        "walls": [],
-        "empties": [],
-    }
     two_d_axes = [a for a in range(3) if inside.shape[a] == 1]
+    stride = (P[1] * P[2], P[2], 1)
 
-    def face_quad(cell: Tuple[int, int, int], axis: int, sign: int) -> Tuple[int, ...]:
-        # Lower corner of the face in point coords.
-        base = list(cell)
+    def quad_ids(coords: np.ndarray, axis: int, sign: int) -> np.ndarray:
+        """Point ids (F, 4) of the faces at ``coords`` (F, 3) lower cells.
+
+        The lattice id is linear in the point coordinates, so the quad is a
+        single (F,) base id plus four scalar corner offsets — no (F, 4, 3)
+        temporary (large first-touch allocations dominate on small hosts).
+        """
+        base = (
+            coords[:, 0] * stride[0] + coords[:, 1] * stride[1] + coords[:, 2]
+        )
         if sign > 0:
-            base[axis] += 1
-        quad = []
-        for off in _FACE_CORNERS[(axis, sign)]:
-            p = [base[0] + off[0], base[1] + off[1], base[2] + off[2]]
-            # off coordinates are expressed in the two in-plane axes: remap
-            quad.append(tuple(p))
-        return tuple(pid(*p) for p in quad)
+            base = base + stride[axis]
+        offs = np.asarray(_FACE_CORNERS[(axis, sign)], dtype=np.int64)  # (4, 3)
+        off_pid = offs[:, 0] * stride[0] + offs[:, 1] * stride[1] + offs[:, 2]
+        return base[:, None] + off_pid[None, :]
 
-    # Iterate cells; for each axis look at +1 neighbor for internal faces and
-    # at both sides for boundary faces.
-    coords = np.argwhere(inside)
-    for (cx, cy, cz) in coords:
-        me = cell_id[cx, cy, cz]
-        for axis in range(3):
-            for sign in (+1, -1):
-                n = [cx, cy, cz]
-                n[axis] += sign
-                in_bounds = 0 <= n[axis] < inside.shape[axis]
-                neighbor = cell_id[tuple(n)] if in_bounds and inside[tuple(n)] else -1
-                if neighbor >= 0:
-                    if sign > 0:  # emit internal faces once, from the lower cell
-                        quad = face_quad((cx, cy, cz), axis, +1)
-                        internal.append((me, neighbor, quad))
-                    continue
-                # boundary face
-                quad = face_quad((cx, cy, cz), axis, sign)
-                if axis == 0 and sign < 0 and cx == 0:
-                    patch = "inlets"
-                elif axis == 0 and sign > 0 and cx == nx - 1:
-                    patch = "outlets"
-                elif axis in two_d_axes:
-                    patch = "empties"
-                else:
-                    patch = "walls"
-                patches[patch].append((me, quad))
-
-    # Order: internal faces sorted by (owner, neighbour); then patches.
-    internal.sort(key=lambda t: (t[0], t[1]))
-    faces = [t[2] for t in internal]
-    owner = [t[0] for t in internal]
-    neighbour = [t[1] for t in internal]
-    patch_table = []
-    for name in ("inlets", "outlets", "walls", "empties"):
-        entries = patches[name]
-        if not entries:
+    # Internal faces: emitted once per (cell, +axis neighbor) pair.
+    int_own, int_nb, int_quads = [], [], []
+    for axis in range(3):
+        m = inside.copy()
+        sl = [slice(None)] * 3
+        sl[axis] = -1
+        m[tuple(sl)] = False  # no +1 neighbor beyond the domain edge
+        m &= np.roll(inside, -1, axis=axis)
+        coords = np.argwhere(m)
+        if coords.size == 0:
             continue
-        patch_table.append((name, _PATCH_TYPES[name], len(faces), len(entries)))
-        for own, quad in entries:
-            faces.append(quad)
-            owner.append(own)
+        int_own.append(cell_id[m])
+        int_nb.append(np.roll(cell_id, -1, axis=axis)[m])
+        int_quads.append(quad_ids(coords, axis, +1))
+    own = np.concatenate(int_own) if int_own else np.zeros(0, np.int64)
+    nb = np.concatenate(int_nb) if int_nb else np.zeros(0, np.int64)
+    quads = (
+        np.concatenate(int_quads) if int_quads else np.zeros((0, 4), np.int64)
+    )
+    # OpenFOAM upper-triangular order: sorted by owner, then neighbour.
+    order = np.lexsort((nb, own))
+    faces_list = [quads[order]]
+    owner_list = [own[order]]
+    neighbour = nb[order]
 
-    # Compact the point table to used points only.
-    used = sorted({p for quad in faces for p in quad})
-    remap = {p: i for i, p in enumerate(used)}
-    faces = [tuple(remap[p] for p in quad) for quad in faces]
-    used = np.asarray(used)
+    # Boundary faces, grouped into patches.
+    patch_faces: Dict[str, List[np.ndarray]] = {
+        "inlets": [], "outlets": [], "walls": [], "empties": []
+    }
+    patch_owners: Dict[str, List[np.ndarray]] = {
+        "inlets": [], "outlets": [], "walls": [], "empties": []
+    }
+    edge = {}
+    for axis in range(3):
+        for sign in (+1, -1):
+            e = np.zeros_like(inside)
+            sl = [slice(None)] * 3
+            sl[axis] = -1 if sign > 0 else 0
+            e[tuple(sl)] = True
+            edge[(axis, sign)] = e
+    for axis in range(3):
+        for sign in (+1, -1):
+            shifted = np.roll(inside, -sign, axis=axis)
+            bmask = inside & (edge[(axis, sign)] | ~shifted)
+            coords = np.argwhere(bmask)
+            if coords.size == 0:
+                continue
+            owners = cell_id[bmask]
+            q = quad_ids(coords, axis, sign)
+            on_edge = coords[:, axis] == (inside.shape[axis] - 1 if sign > 0 else 0)
+            if axis == 0:
+                name = "inlets" if sign < 0 else "outlets"
+                io = on_edge
+            else:
+                io = np.zeros(len(coords), dtype=bool)
+                name = None
+            hole = "empties" if axis in two_d_axes else "walls"
+            if name is not None and io.any():
+                patch_faces[name].append(q[io])
+                patch_owners[name].append(owners[io])
+            rest = ~io
+            if rest.any():
+                patch_faces[hole].append(q[rest])
+                patch_owners[hole].append(owners[rest])
+
+    patch_table = []
+    n_internal = len(neighbour)
+    start = n_internal
+    for name in ("inlets", "outlets", "walls", "empties"):
+        if not patch_faces[name]:
+            continue
+        q = np.concatenate(patch_faces[name])
+        o = np.concatenate(patch_owners[name])
+        patch_table.append((name, _PATCH_TYPES[name], start, len(q)))
+        faces_list.append(q)
+        owner_list.append(o)
+        start += len(q)
+
+    faces = np.concatenate(faces_list)
+    owner = np.concatenate(owner_list)
+
+    # Compact the point table to used points only (lattice-mask compaction:
+    # equivalent to np.unique + inverse, without the 5M-element sort).
+    used_mask = np.zeros(P[0] * P[1] * P[2], dtype=bool)
+    used_mask[faces.ravel()] = True
+    remap = np.cumsum(used_mask, dtype=np.int64) - 1
+    faces = remap[faces]
+    used = np.flatnonzero(used_mask)
     pz = used % P[2]
     py = (used // P[2]) % P[1]
     px = used // (P[1] * P[2])
     points = np.stack([px * h[0], py * h[1], pz * h[2]], axis=-1).astype(np.float64)
 
-    centers = (coords + 0.5) * np.asarray(h)
+    centers = (np.argwhere(inside) + 0.5) * np.asarray(h)
 
-    return points, faces, np.asarray(owner), np.asarray(neighbour), patch_table, centers
+    return points, faces, owner, neighbour, patch_table, centers
 
 
 def write_polymesh(case_dir: Path, inside: np.ndarray, h: Tuple[float, float, float]):

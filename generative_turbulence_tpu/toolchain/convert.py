@@ -53,21 +53,44 @@ def read_mesh(case_dir: Path):
     return points, faces, owner, neighbour, boundary
 
 
-def cell_face_table(faces, owner, neighbour, n_cells: int) -> List[List[int]]:
-    cells: List[List[int]] = [[] for _ in range(n_cells)]
-    for fi, c in enumerate(owner):
-        cells[c].append(fi)
-    for fi, c in enumerate(neighbour):
-        cells[c].append(fi)
-    return cells
+def cell_face_table(faces, owner, neighbour, n_cells: int) -> List[np.ndarray]:
+    """Per-cell face-id lists (owner faces first, then neighbour faces, each
+    in ascending face order — the original append order), vectorized."""
+    owner = np.asarray(owner, dtype=np.int64)
+    neighbour = np.asarray(neighbour, dtype=np.int64)
+    cf = np.concatenate([owner, neighbour])
+    fi = np.concatenate(
+        [np.arange(len(owner), dtype=np.int64), np.arange(len(neighbour), dtype=np.int64)]
+    )
+    order = np.argsort(cf, kind="stable")
+    counts = np.bincount(cf, minlength=n_cells)
+    return np.split(fi[order], np.cumsum(counts)[:-1])
 
 
-def cell_centroids(points, faces, cells) -> np.ndarray:
-    """Cell centroid = mean of its unique vertex points (exact for our
-    axis-aligned hexes)."""
+def cell_centroids(points, faces, cells, owner=None, neighbour=None) -> np.ndarray:
+    """Cell centroid, exact for our axis-aligned hexes.
+
+    Every vertex of a hex belongs to exactly 3 of its 6 quads, so the mean
+    over the 24 face-corner points (with multiplicity) equals the mean over
+    the 8 unique vertices; the centroid is therefore the mean of the cell's
+    face centers — computable with two vectorized scatter-adds instead of a
+    per-cell ``np.unique`` loop."""
+    if owner is not None:
+        faces = np.asarray(faces)
+        fc = points[faces].mean(axis=1)  # (F, 3) face centers
+        n_cells = len(cells)
+        acc = np.zeros((n_cells, 3))
+        cnt = np.zeros(n_cells)
+        np.add.at(acc, owner, fc)
+        np.add.at(cnt, owner, 1.0)
+        n_int = len(neighbour)
+        np.add.at(acc, neighbour, fc[:n_int])
+        np.add.at(cnt, neighbour, 1.0)
+        return acc / cnt[:, None]
+    # generic fallback (non-hex meshes / no owner info): unique-vertex mean
     out = np.zeros((len(cells), 3))
     for ci, face_ids in enumerate(cells):
-        vids = np.unique(np.concatenate([faces[fi] for fi in face_ids]))
+        vids = np.unique(np.concatenate([np.asarray(faces[fi]) for fi in face_ids]))
         out[ci] = points[vids].mean(axis=0)
     return out
 
@@ -84,6 +107,14 @@ def read_nu(case_dir: Path) -> float:
     raise FileNotFoundError(f"No viscosity found in {case_dir}/constant")
 
 
+def boundary_dict_from_patch_table(patch_table) -> Dict[str, Dict]:
+    """``build_polymesh`` patch table -> the dict ``read_boundary`` returns."""
+    return {
+        name: {"type": typch, "startFace": int(start), "nFaces": int(n)}
+        for name, typch, start, n in patch_table
+    }
+
+
 def foam_case_to_h5(
     case_dir: Path,
     out_file: Optional[Path] = None,
@@ -92,6 +123,7 @@ def foam_case_to_h5(
     n_workers: int = 8,
     frames_override: Optional[List[Dict[str, np.ndarray]]] = None,
     times_override: Optional[List[float]] = None,
+    mesh_override: Optional[tuple] = None,
 ) -> Path:
     """Convert a solved OpenFOAM case into the ``data.h5`` schema.
 
@@ -103,12 +135,21 @@ def foam_case_to_h5(
     case_dir = Path(case_dir)
     out_file = Path(out_file) if out_file else case_dir / "data.h5"
 
-    points, faces, owner, neighbour, boundary = read_mesh(case_dir)
+    if mesh_override is not None:
+        # In-memory mesh from ``build_polymesh`` — skips the ASCII polyMesh
+        # write + re-parse round-trip (minutes per shapes-size case).
+        points, faces, owner, neighbour, patch_table, _ = mesh_override
+        boundary = boundary_dict_from_patch_table(patch_table)
+    else:
+        points, faces, owner, neighbour, boundary = read_mesh(case_dir)
     n_cells = int(max(owner.max(), neighbour.max() if len(neighbour) else 0)) + 1
     cells = cell_face_table(faces, owner, neighbour, n_cells)
 
-    for f in faces:
-        assert len(f) == 4, "channel meshes must be quad-faced"
+    if isinstance(faces, np.ndarray):
+        assert faces.shape[1] == 4, "channel meshes must be quad-faced"
+    else:
+        for f in faces:
+            assert len(f) == 4, "channel meshes must be quad-faced"
 
     if frames_override is not None:
         assert times_override is not None and len(times_override) == len(
@@ -149,14 +190,21 @@ def foam_case_to_h5(
     face2cell[:, 0] = owner
     face2cell[: len(neighbour), 1] = neighbour
 
-    max_face_len = max(len(f) for f in faces)
-    faces_arr = np.full((len(faces), max_face_len), -1, dtype=np.int64)
-    for i, f in enumerate(faces):
-        faces_arr[i, : len(f)] = f
-    max_cell_faces = max(len(c) for c in cells)
+    if isinstance(faces, np.ndarray):
+        faces_arr = faces.astype(np.int64, copy=False)
+    else:
+        max_face_len = max(len(f) for f in faces)
+        faces_arr = np.full((len(faces), max_face_len), -1, dtype=np.int64)
+        for i, f in enumerate(faces):
+            faces_arr[i, : len(f)] = f
+    lens = np.fromiter((len(c) for c in cells), dtype=np.int64, count=n_cells)
+    max_cell_faces = int(lens.max())
     cells_arr = np.full((n_cells, max_cell_faces), -1, dtype=np.int64)
-    for i, c in enumerate(cells):
-        cells_arr[i, : len(c)] = c
+    if (lens == max_cell_faces).all():
+        cells_arr[:] = np.concatenate(cells).reshape(n_cells, max_cell_faces)
+    else:
+        for i, c in enumerate(cells):
+            cells_arr[i, : len(c)] = c
 
     with h5py.File(out_file, "w") as f:
         f.create_group("physical").attrs["nu"] = read_nu(case_dir)
@@ -202,6 +250,7 @@ def add_grid_embedding(
     h5_file: Path,
     case_dir: Path,
     mesh_params: Optional[dict] = None,
+    mesh_override: Optional[tuple] = None,
 ):
     """Append the ``grid/`` and ``geometry/`` groups to a converted case.
 
@@ -218,31 +267,33 @@ def add_grid_embedding(
     h = np.asarray(mesh_params["h"], dtype=np.float64)
     padded = tuple(cell_counts + 2)
 
-    points, faces, owner, neighbour, boundary = read_mesh(case_dir)
-    n_cells = int(max(owner.max(), neighbour.max() if len(neighbour) else 0)) + 1
-    cells = cell_face_table(faces, owner, neighbour, n_cells)
-    centroids = cell_centroids(points, faces, cells)
+    if mesh_override is not None:
+        points, faces, owner, neighbour, patch_table, centroids = mesh_override
+        boundary = boundary_dict_from_patch_table(patch_table)
+    else:
+        points, faces, owner, neighbour, boundary = read_mesh(case_dir)
+        n_cells = int(max(owner.max(), neighbour.max() if len(neighbour) else 0)) + 1
+        cells = cell_face_table(faces, owner, neighbour, n_cells)
+        centroids = cell_centroids(points, faces, cells, owner, neighbour)
+    faces = np.asarray(faces)
+    owner = np.asarray(owner)
 
     grid_coords = np.floor(centroids / h).astype(np.int64) + 1  # +1 padding
     cell_idx = ravel_multi_index(grid_coords, padded)
 
     # Boundary faces -> padding cells: step from the owning cell along the
-    # dominant outward normal axis.
+    # dominant outward normal axis (vectorized per patch).
     boundary_idx: Dict[str, np.ndarray] = {}
     for name, spec in boundary.items():
         start, n = spec["startFace"], spec["nFaces"]
-        idxs = []
-        for fi in range(start, start + n):
-            own = owner[fi]
-            verts = points[faces[fi]]
-            face_center = verts.mean(axis=0)
-            direction = face_center - centroids[own]
-            axis = int(np.argmax(np.abs(direction / h)))
-            step = 1 if direction[axis] > 0 else -1
-            coord = grid_coords[own].copy()
-            coord[axis] += step
-            idxs.append(ravel_multi_index(coord, padded))
-        boundary_idx[name] = np.unique(np.asarray(idxs, dtype=np.int64))
+        own = owner[start : start + n]
+        face_centers = points[faces[start : start + n]].mean(axis=1)  # (n, 3)
+        direction = (face_centers - centroids[own]) / h
+        axis = np.argmax(np.abs(direction), axis=1)
+        step = np.where(direction[np.arange(n), axis] > 0, 1, -1)
+        coord = grid_coords[own].copy()
+        coord[np.arange(n), axis] += step
+        boundary_idx[name] = np.unique(ravel_multi_index(coord, padded))
 
     holes = mesh_params.get("holes", [])
     with h5py.File(h5_file, "a") as f:

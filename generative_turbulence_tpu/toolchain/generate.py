@@ -203,14 +203,16 @@ def mock_solve_direct(
     *,
     n_frames: int = 4,
     seed: int = 0,
+    mesh: Optional[tuple] = None,
 ) -> Path:
     """Mock-solve straight into ``data.h5``, skipping the ASCII time dirs.
 
     The ASCII OpenFOAM field format costs ~3x the storage of the float32
     HDF5 and dominates generation time at dataset scale; this path hands the
-    in-memory frames to the converter (mesh/BCs still come from the real
-    case files written by ``generate_case``), producing a byte-equivalent
-    ``data.h5`` schema.
+    in-memory frames to the converter (BCs still come from the real case
+    files written by ``generate_case``), producing a byte-equivalent
+    ``data.h5`` schema.  ``mesh`` (a ``build_polymesh`` tuple) skips the
+    ASCII polyMesh re-parse too.
     """
     from .convert import foam_case_to_h5
 
@@ -218,7 +220,10 @@ def mock_solve_direct(
     times = [(i + 1) * config.write_interval for i in range(n_frames)]
     frames = [flow.cell_frame(i) for i in range(n_frames)]
     return foam_case_to_h5(
-        case_dir, frames_override=frames, times_override=times
+        case_dir,
+        frames_override=frames,
+        times_override=times,
+        mesh_override=mesh,
     )
 
 

@@ -43,14 +43,23 @@ def main():
         "--resume", action="store_true",
         help="skip cases whose data.h5 already carries the analysis artifacts",
     )
+    ap.add_argument(
+        "--analyses", default="all", choices=["all", "eval-only", "none"],
+        help="which cases get the per-case analysis artifacts (mean-flow/"
+        "regions/max-tke): 'eval-only' restricts them to val/test cases — "
+        "training only needs data.h5 + stats.pickle, and the analyses cost "
+        "minutes per case on one CPU",
+    )
     args = ap.parse_args()
 
     from generative_turbulence_tpu.toolchain.convert import (
         add_grid_embedding,
         foam_case_to_h5,
     )
+    from generative_turbulence_tpu.toolchain.boxmesh import build_polymesh
     from generative_turbulence_tpu.toolchain.generate import (
         ChannelConfig,
+        domain_mask,
         generate_case,
         mock_solve,
         mock_solve_direct,
@@ -76,8 +85,12 @@ def main():
     if args.limit is not None:
         split = {k: v[: args.limit] for k, v in split.items()}
     chosen = [name for names in split.values() for name in names]
+    eval_names = set(split.get("val", [])) | set(split.get("test", []))
 
     for name in chosen:
+        with_analyses = args.analyses == "all" or (
+            args.analyses == "eval-only" and name in eval_names
+        )
         rects = catalog[name]
         validate_shape(name, rects)
         config = ChannelConfig(
@@ -86,7 +99,9 @@ def main():
             n_subdomains=args.n_subdomains,
         )
         case_dir = cases_dir / name
-        artifacts = ["data.h5", "mean-flow.h5", "regions.npz", "max-mean-tke.npy"]
+        artifacts = ["data.h5"]
+        if with_analyses:
+            artifacts += ["mean-flow.h5", "regions.npz", "max-mean-tke.npy"]
         if args.resume and all((case_dir / a).exists() for a in artifacts):
             print(f"skipping {name} (complete)")
             continue
@@ -100,18 +115,26 @@ def main():
             )
             print(f"refreshed {name}", flush=True)
         else:
-            generate_case(case_dir, config)
+            # mock-direct carries the mesh in memory (data.h5 gets the full
+            # domain/* groups); the ASCII polyMesh is only written when a
+            # real OpenFOAM solve could follow.
+            generate_case(
+                case_dir, config, write_polymesh_too=not args.mock_direct
+            )
             print(f"generated {name}", flush=True)
         if args.mock_solve or args.mock_direct:
             if args.mock_direct:
+                mesh = build_polymesh(domain_mask(config), config.h)
                 h5 = mock_solve_direct(
-                    case_dir, config, n_frames=args.frames, seed=seed
+                    case_dir, config, n_frames=args.frames, seed=seed, mesh=mesh
                 )
+                add_grid_embedding(h5, case_dir, mesh_override=mesh)
+                del mesh
             else:
                 mock_solve(case_dir, config, n_frames=args.frames, seed=seed)
                 h5 = foam_case_to_h5(case_dir)
-            add_grid_embedding(h5, case_dir)
-        if args.mock_solve or args.mock_direct or args.refresh_frames:
+                add_grid_embedding(h5, case_dir)
+        if (args.mock_solve or args.mock_direct or args.refresh_frames) and with_analyses:
             mean_flow(h5, discard_first_seconds=-1.0)
             homogeneous_regions(h5, k=16, discard_first_seconds=-1.0)
             max_mean_tke(h5, discard_first_seconds=-1.0)
