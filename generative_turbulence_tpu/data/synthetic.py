@@ -273,30 +273,37 @@ def compute_stats(train_files: Sequence[Path]) -> FieldStats:
         entry["sumsq"] += (values**2).sum(axis=0)
         entry["count"] += len(values)
 
+    dense = None
     for file in train_files:
         meta = read_metadata(file)
-        with h5py.File(file, "r") as f:
-            u = np.asarray(f["data/u"], dtype=np.float32)
-            p = np.asarray(f["data/p"], dtype=np.float32)[..., None]
-            k = np.asarray(f["data/k"], dtype=np.float32)[..., None]
-            nut = np.asarray(f["data/nut"], dtype=np.float32)[..., None]
-
-        update("u", u)
-        update("p", p)
-        update("k", k)
-        update("nut", nut)
-        update("norm(u)", np.linalg.norm(u, axis=-1, keepdims=True))
-
-        # Curl through the grid embedding, evaluated at unpadded interior cells.
         X, Y, Z = (int(c) for c in meta.cell_counts)
-        T = u.shape[0]
-        dense = np.zeros((T, X * Y * Z, 3), dtype=np.float32)
-        dense[:, meta.cell_idx] = u
-        dense = dense.reshape(T, X, Y, Z, 3)
-        curl = _numpy_curl(dense, meta.h)  # (T, X-2, Y-2, Z-2, 3)
-        assert curl.shape == (T, X - 2, Y - 2, Z - 2, 3)
-        curl_cells = curl.reshape(T, -1, 3)[:, meta.unpadded_cell_idx]
-        update("norm(curl)", np.linalg.norm(curl_cells, axis=-1, keepdims=True))
+        # Stream frame-by-frame with a reused dense buffer: materializing all
+        # T frames at once costs ~1.5 GB of fresh allocations per case, which
+        # dominates wall-clock on small hosts (first-touch page faults).
+        if dense is None or dense.shape[0] != X * Y * Z:
+            dense = np.zeros((X * Y * Z, 3), dtype=np.float32)
+        with h5py.File(file, "r") as f:
+            T = f["data/u"].shape[0]
+            for t in range(T):
+                u = np.asarray(f["data/u"][t], dtype=np.float32)
+                update("u", u)
+                update("p", np.asarray(f["data/p"][t], dtype=np.float32)[..., None])
+                update("k", np.asarray(f["data/k"][t], dtype=np.float32)[..., None])
+                update(
+                    "nut", np.asarray(f["data/nut"][t], dtype=np.float32)[..., None]
+                )
+                update("norm(u)", np.linalg.norm(u, axis=-1, keepdims=True))
+
+                # Curl through the grid embedding, at unpadded interior cells.
+                dense[:] = 0.0
+                dense[meta.cell_idx] = u
+                curl = _numpy_curl(dense.reshape(X, Y, Z, 3), meta.h)
+                assert curl.shape == (X - 2, Y - 2, Z - 2, 3)
+                curl_cells = curl.reshape(-1, 3)[meta.unpadded_cell_idx]
+                update(
+                    "norm(curl)",
+                    np.linalg.norm(curl_cells, axis=-1, keepdims=True),
+                )
 
     stats: Dict[str, Dict[str, np.ndarray]] = {}
     for key, entry in acc.items():
