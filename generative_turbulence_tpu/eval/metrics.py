@@ -168,11 +168,23 @@ def _emd2_sq_rows(dist_block: np.ndarray) -> np.ndarray:
 
 
 class WassersteinMetric:
-    def __init__(self, max_workers: Optional[int] = None, solver: str = "exact"):
+    def __init__(
+        self,
+        max_workers: Optional[int] = None,
+        solver: str = "exact",
+        max_regions: Optional[int] = None,
+        region_seed: int = 0,
+    ):
         """solver: 'exact' (host EMD, default) or 'sinkhorn' (on-device
-        entropic OT — the TPU fast path for large sample counts)."""
+        entropic OT — the TPU fast path for large sample counts).
+
+        max_regions subsamples the per-case region set (renormalizing the
+        cell-count weights) so exact-vs-sinkhorn calibration runs in minutes;
+        production metrics use all regions (None)."""
         self.max_workers = max_workers
         self.solver = solver
+        self.max_regions = max_regions
+        self.region_seed = region_seed
 
     def is_expensive(self) -> bool:
         return True
@@ -185,13 +197,20 @@ class WassersteinMetric:
             return {}
         assignments = np.load(regions_file)["assignments"]
         region_counts = np.bincount(assignments)
+        region_labels = np.arange(len(region_counts))
+        if self.max_regions is not None and self.max_regions < len(region_labels):
+            rng = np.random.default_rng(self.region_seed)
+            region_labels = np.sort(
+                rng.choice(region_labels, size=self.max_regions, replace=False)
+            )
+            region_counts = region_counts[region_labels]
         region_weights = region_counts.astype(np.float64) / region_counts.sum()
 
         sample_features = np.asarray(self.features(samples, stats))
         data_features = np.asarray(self.features(data, stats))
 
         n, m = samples.n_samples, data.n_samples
-        K = len(region_counts)
+        K = len(region_labels)
 
         # Cost matrices are cheap (vectorized numpy); the EMDs are the hot
         # part and run on a process pool, mirroring the reference's Deadpool
@@ -199,7 +218,7 @@ class WassersteinMetric:
         # batched Sinkhorn when solver='sinkhorn'.  Distance blocks are
         # computed per (region, sample) and consumed as the pool drains, so
         # peak memory stays O(workers * m * R^2) instead of O(n * m * K * R^2).
-        region_idx = [np.flatnonzero(assignments == k) for k in range(K)]
+        region_idx = [np.flatnonzero(assignments == k) for k in region_labels]
 
         def dist_block(k: int, i: int) -> np.ndarray:
             """(m, R, R) pairwise distances of sample i vs all data frames."""

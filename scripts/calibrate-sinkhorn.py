@@ -28,6 +28,13 @@ def main():
     ap.add_argument("--samples", type=int, default=8)
     ap.add_argument("--out", default=None)
     ap.add_argument("--workers", type=int, default=None)
+    ap.add_argument(
+        "--max-regions",
+        type=int,
+        default=None,
+        help="subsample this many regions (same subset for both solvers) so "
+        "the exact host EMD finishes in minutes; weights are renormalized",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -50,10 +57,12 @@ def main():
     samples = repo.read(0, sorted(set(early)))
     data = repo.read(0, sorted(set(late)))
 
-    results = {"case": args.case, "samples": k}
+    results = {"case": args.case, "samples": k, "max_regions": args.max_regions}
     for solver in ("sinkhorn", "exact"):
         tic = time.time()
-        metric = WassersteinMetric(max_workers=args.workers, solver=solver)
+        metric = WassersteinMetric(
+            max_workers=args.workers, solver=solver, max_regions=args.max_regions
+        )
         out = metric(samples, data, stats)
         wall = time.time() - tic
         results[solver] = {"wasserstein": out.get("wasserstein"), "seconds": wall}

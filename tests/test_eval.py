@@ -105,6 +105,21 @@ class TestMetrics:
         assert "wasserstein" in out
         assert np.isfinite(out["wasserstein"]) and out["wasserstein"] >= 0
 
+    def test_wasserstein_metric_region_subsample(self, val_setup):
+        """max_regions computes the same statistic over a region subset
+        (the calibration fast path); full-set and seeded-subset values must
+        be finite, and subsetting to ALL regions must be a no-op."""
+        repo, meta, stats = val_setup
+        samples = repo.read(0, [2, 5])
+        data = repo.read(0, [3, 6])
+        full = WassersteinMetric(max_workers=1)(samples, data, stats)
+        same = WassersteinMetric(max_workers=1, max_regions=10_000)(
+            samples, data, stats
+        )
+        assert same["wasserstein"] == pytest.approx(full["wasserstein"])
+        sub = WassersteinMetric(max_workers=1, max_regions=2)(samples, data, stats)
+        assert np.isfinite(sub["wasserstein"]) and sub["wasserstein"] >= 0
+
     def test_max_mean_tke_position(self, val_setup):
         repo, meta, stats = val_setup
         samples = repo.read(0, [2, 5, 8])
