@@ -203,4 +203,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    from generative_turbulence_tpu.utils.hostmem import ensure_malloc_reuse
+
+    ensure_malloc_reuse()  # re-exec once: warm-heap malloc on this VM
     main()

@@ -6,6 +6,11 @@ from pathlib import Path
 REPO_ROOT = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO_ROOT))
 
+from generative_turbulence_tpu.utils.hostmem import (  # noqa: E402,F401
+    ensure_malloc_reuse,
+    malloc_env,
+)
+
 
 def load_task_from_checkpoint(ckpt_dir, overrides=(), which="best"):
     """Rebuild datamodule + task from a checkpoint directory's embedded config

@@ -56,4 +56,7 @@ def main():
 
 
 if __name__ == "__main__":
+    from _common import ensure_malloc_reuse
+
+    ensure_malloc_reuse()  # re-exec once: warm-heap malloc on this VM
     main()

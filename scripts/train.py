@@ -60,4 +60,7 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    from _common import ensure_malloc_reuse
+
+    ensure_malloc_reuse()  # re-exec once: warm-heap malloc on this VM
     main()
