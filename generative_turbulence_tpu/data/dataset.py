@@ -24,7 +24,7 @@ import numpy as np
 
 from .grid import GridMap
 from .schema import CaseMetadata, CaseRepository, FieldStats, find_data_files
-from .variables import Variable
+from .variables import Variable, total_dims
 
 
 @dataclasses.dataclass
@@ -260,6 +260,108 @@ def collate(
     )
 
 
+class HostBufferPool:
+    """Cycled pools of reusable host arrays for the batch producer.
+
+    On lazily-backed VM hosts, first-touch of fresh anonymous pages is
+    pathologically slow while warm pages are RAM-speed (see
+    ``utils/hostmem.py``): the copying collate path allocates ~4x the batch
+    size in fresh arrays per batch, capping training throughput at the page
+    fault rate.  This pool serves every batch from warm, reused memory.
+
+    Two kinds of buffers:
+
+    - ``get(shape)``: round-robin over ``slots`` arrays per shape.  Used for
+      buffers that OUTLIVE the producer iteration (the ``Batch.cells`` the
+      consumer and an in-flight H2D transfer may still reference); ``slots``
+      must exceed the max number of batches alive at once — prefetch queue
+      (2) + consumer current + one in-flight transfer — with margin.
+    - ``scratch(n_elements)``: one grow-only flat array per dtype, viewed and
+      reshaped per call.  Only for buffers that die inside the producer step.
+    """
+
+    def __init__(self, slots: int = 6):
+        self.slots = slots
+        self._pools: Dict[Tuple, List[np.ndarray]] = {}
+        self._next: Dict[Tuple, int] = {}
+        self._scratch: Dict[str, np.ndarray] = {}
+
+    def get(self, shape: Tuple[int, ...], dtype=np.float32) -> np.ndarray:
+        key = (tuple(int(s) for s in shape), np.dtype(dtype).str)
+        pool = self._pools.setdefault(key, [])
+        if len(pool) < self.slots:
+            pool.append(np.empty(key[0], dtype))
+            return pool[-1]
+        i = self._next.get(key, 0)
+        self._next[key] = (i + 1) % self.slots
+        return pool[i]
+
+    def scratch(self, shape: Tuple[int, ...], dtype=np.float32) -> np.ndarray:
+        key = np.dtype(dtype).str
+        n = int(np.prod(shape))
+        buf = self._scratch.get(key)
+        if buf is None or buf.size < n:
+            buf = self._scratch[key] = np.empty(n, dtype)
+        return buf[:n].reshape(shape)
+
+
+def collate_pooled(
+    dataset: "CaseDataset",
+    index: Sequence[int],
+    stats: FieldStats,
+    variables: Sequence[Variable],
+    cell_bucket: int,
+    pool: HostBufferPool,
+) -> Batch:
+    """Zero-allocation batch production into pooled host buffers.
+
+    Reads each variable's frames straight from the HDF5 page cache into a
+    pooled scratch view (``read_direct``), writes them into their channel
+    slice of a pooled bucket-padded ``cells`` buffer, and reuses the cached
+    ``GridMap``.  Frames are returned in sorted-frame order with ``t``
+    aligned (batch order is irrelevant to both training and evaluation —
+    samples within a batch are exchangeable).  Falls back to the copying
+    :func:`collate` when a batch contains duplicate frames (rare
+    ``pad_to_full`` top-up) since sorted fancy selections require strictly
+    increasing indices.
+    """
+    variables = tuple(variables)
+    file_idx, local = dataset.locate(np.asarray(index))
+    steps = dataset.valid_steps[file_idx]
+    frame_idxs = np.sort(np.asarray([int(steps[i]) for i in local]))
+    if frame_idxs.size > 1 and np.any(np.diff(frame_idxs) == 0):
+        return collate(dataset[index], stats, variables, cell_bucket)
+
+    meta = dataset.repo.read_metadata(file_idx)
+    B = int(frame_idxs.size)
+    F = total_dims(variables)
+    with dataset.repo.open(file_idx) as f:
+        group = f["data"]
+        n = int(group[variables[0].key].shape[1])
+        nb = -(-n // cell_bucket) * cell_bucket if cell_bucket else n
+        cells = pool.get((B, nb, F))
+        c0 = 0
+        sel = np.s_[frame_idxs.tolist()]
+        for v in variables:
+            dset = group[v.key]
+            dims = int(dset.shape[2]) if dset.ndim == 3 else 1
+            view = pool.scratch((B, n, dims) if dset.ndim == 3 else (B, n))
+            dset.read_direct(view, sel)
+            cells[:, :n, c0 : c0 + dims] = view.reshape(B, n, dims)
+            c0 += dims
+    if nb > n:
+        cells[:, n:, :] = 0.0
+    t = dataset.repo.times[file_idx][frame_idxs]
+    return Batch(
+        cells=cells,
+        t=np.asarray(t),
+        grid=GridMap.from_metadata(meta, variables, bucket=cell_bucket),
+        metadata=meta,
+        stats=stats,
+        variables=variables,
+    )
+
+
 def prefetch(iterator: Iterator, size: int = 2, transform=None) -> Iterator:
     """Run ``iterator`` in a host thread, keeping ``size`` items ready.
 
@@ -309,6 +411,7 @@ class DataModule:
         shard_by_host: bool = False,
         device_prefetch: bool = True,
         cell_bucket: int = 16384,
+        buffer_pool: bool = True,
     ):
         self.root = Path(root)
         self.discard_first_seconds = discard_first_seconds
@@ -322,6 +425,7 @@ class DataModule:
         self.shard_by_host = shard_by_host
         self.device_prefetch = device_prefetch
         self.cell_bucket = cell_bucket
+        self.buffer_pool = buffer_pool
 
         self.stats: Optional[FieldStats] = None
         self.train_dataset: Optional[CaseDataset] = None
@@ -381,11 +485,24 @@ class DataModule:
         return self._iterate(self.test_dataset, sampler)
 
     def _iterate(self, dataset: CaseDataset, sampler) -> Iterator[Batch]:
+        # The pool is safe precisely because of the bounded pipeline shape:
+        # at most prefetch_size + 2 batches are alive at once, and slots=6
+        # cycles reuse far behind that horizon.  Without device_prefetch the
+        # consumer sees the pooled numpy array directly, which is only valid
+        # if it does not retain batches — the training/eval loops do not.
+        pool = HostBufferPool() if self.buffer_pool else None
+
         def gen():
             for idxs in sampler:
-                yield collate(
-                    dataset[idxs], self.stats, self.variables, self.cell_bucket
-                )
+                if pool is not None:
+                    yield collate_pooled(
+                        dataset, idxs, self.stats, self.variables,
+                        self.cell_bucket, pool,
+                    )
+                else:
+                    yield collate(
+                        dataset[idxs], self.stats, self.variables, self.cell_bucket
+                    )
 
         transform = Batch.device_put if self.device_prefetch else None
         return prefetch(gen(), size=self.prefetch_size, transform=transform)

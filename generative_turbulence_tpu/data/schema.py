@@ -362,6 +362,10 @@ class CaseRepository:
             self._metadata[file_idx] = read_metadata(self.files[file_idx])
         return self._metadata[file_idx]
 
+    def open(self, file_idx: int) -> h5py.File:
+        """Open a case file for direct dataset access (caller closes)."""
+        return h5py.File(self.files[file_idx], "r")
+
     def read_frames(self, file_idx: int, sample_idxs: Sequence[int]) -> Dict[Variable, np.ndarray]:
         """Read frames as {Variable: (B, n_cells, dims) float32}."""
         sample_idxs = np.asarray(sample_idxs)

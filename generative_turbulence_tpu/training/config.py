@@ -148,6 +148,9 @@ class DataConfig:
     # cell counts share ONE compiled program (0 = off); scatter drops the
     # sentinel rows, gather fills zeros, losses normalize by the true count
     cell_bucket: int = 16384
+    # serve batches from cycled warm host buffers (read_direct + in-place
+    # bucket pad) instead of fresh allocations; see data.HostBufferPool
+    buffer_pool: bool = True
     # multi-host runs: round-robin whole TRAIN cases across hosts
     shard_by_host: bool = False
 

@@ -41,6 +41,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             shard_by_host=dc.shard_by_host,
             device_prefetch=dc.device_prefetch,
             cell_bucket=dc.cell_bucket,
+            buffer_pool=dc.buffer_pool,
         )
         dm.setup("fit")
         # LR schedule length = epochs * optimizer updates/epoch

@@ -167,6 +167,38 @@ def test_samplers_never_mix_geometries(synthetic_root):
     assert [len(b) for b in batches] == [3, 2, 3, 2]
 
 
+def test_pooled_collate_matches_copying(synthetic_root):
+    """The pooled producer must yield the same batches as the copying path
+    (up to within-batch frame order, which is exchangeable); buffers must be
+    fresh per yielded batch within the retention horizon."""
+
+    def batches(buffer_pool):
+        dm = DataModule(
+            synthetic_root,
+            discard_first_seconds=-1.0,
+            batch_size=3,
+            eval_batch_size=2,
+            val_samples=4,
+            variables=(Variable.U, Variable.P),
+            device_prefetch=False,
+            buffer_pool=buffer_pool,
+            cell_bucket=512,
+            seed=7,
+        )
+        dm.setup("fit")
+        out = []
+        for b in dm.train_batches():
+            order = np.argsort(b.t, kind="stable")
+            out.append((np.asarray(b.t)[order], np.asarray(b.cells)[order].copy()))
+        return out
+
+    pooled, copied = batches(True), batches(False)
+    assert len(pooled) == len(copied)
+    for (tp, cp), (tc, cc) in zip(pooled, copied):
+        np.testing.assert_array_equal(tp, tc)
+        np.testing.assert_array_equal(cp, cc)
+
+
 def test_datamodule_end_to_end(synthetic_root):
     dm = DataModule(
         synthetic_root,
