@@ -372,6 +372,18 @@ class GaussianDiffusion:
         if not self.noise_bcs:
             x_t = jnp.where(inside, x_t, x_bcs)
 
+        ts = jnp.arange(T - 1, -1, -1)
+        rngs = jax.random.split(rng_scan, T)
+        step = self._p_step(eps_fn, x_bcs, inside, grid, B)
+        x_t, _ = jax.lax.scan(step, x_t, (ts, rngs))
+
+        # Impose the exact BC values regardless of the noising mode.
+        return jnp.where(inside, x_t, x_bcs).reshape(out_shape)
+
+    def _p_step(self, eps_fn, x_bcs: jnp.ndarray, inside: jnp.ndarray, grid: GridMap, B: int):
+        """One ancestral step over the flat state (shared by the single-scan
+        and chunked samplers)."""
+
         def step(x_t, scan_in):
             t_scalar, rng_t = scan_in
             t = jnp.full((B,), t_scalar, dtype=jnp.int32)
@@ -394,12 +406,54 @@ class GaussianDiffusion:
             x_next = jnp.where(t_scalar == 0, pred.mean, x_next)
             return x_next, None
 
-        ts = jnp.arange(T - 1, -1, -1)
-        rngs = jax.random.split(rng_scan, T)
-        x_t, _ = jax.lax.scan(step, x_t, (ts, rngs))
+        return step
 
-        # Impose the exact BC values regardless of the noising mode.
-        return jnp.where(inside, x_t, x_bcs).reshape(out_shape)
+    def p_sample_init(
+        self, x_bcs: jnp.ndarray, grid: GridMap, rng: jax.Array
+    ) -> jnp.ndarray:
+        """Initial x_T (dense) for chunked ancestral sampling; matches the
+        init of :meth:`p_sample_loop` exactly for the same rng."""
+        _, x_bcs_f, inside = self._flat_sampler_views(lambda x, t: x, x_bcs, grid)
+        x_t = jax.random.normal(rng, x_bcs_f.shape, dtype=x_bcs_f.dtype)
+        if not self.noise_bcs:
+            x_t = jnp.where(inside, x_t, x_bcs_f)
+        return x_t.reshape(x_bcs.shape)
+
+    def p_sample_span(
+        self,
+        eps_fn,
+        x_t: jnp.ndarray,
+        x_bcs: jnp.ndarray,
+        grid: GridMap,
+        t_hi: jnp.ndarray,
+        rngs: jax.Array,
+    ) -> jnp.ndarray:
+        """Run ``len(rngs)`` ancestral steps from timestep ``t_hi - 1`` down.
+
+        Dense state in/out.  ``t_hi`` may be a traced scalar, so ONE compiled
+        span program serves every chunk position; ``rngs`` must be the
+        corresponding slice of ``jax.random.split(rng_scan, T)`` — chaining
+        spans over all T steps then reproduces :meth:`p_sample_loop`
+        bit-for-bit for the same top-level rng.  Exists because a full
+        DDPM-500 scan is a single ~100 s device dispatch, which remote-
+        dispatch runtimes (the axon tunnel) kill; chunks keep each dispatch
+        short (reference protocol: ``turbdiff/models/ddpm.py:767-816`` —
+        per-step python loop, no such constraint).
+
+        When the span reaches t = 0 the exact boundary values are imposed.
+        """
+        span = rngs.shape[0]
+        out_shape = x_bcs.shape
+        eps_fn, x_bcs_f, inside = self._flat_sampler_views(eps_fn, x_bcs, grid)
+        B = out_shape[0]
+        x_flat = x_t.reshape(x_bcs_f.shape)
+        ts = t_hi - 1 - jnp.arange(span)
+        step = self._p_step(eps_fn, x_bcs_f, inside, grid, B)
+        x_flat, _ = jax.lax.scan(step, x_flat, (ts, rngs))
+        x_flat = jnp.where(
+            t_hi - span <= 0, jnp.where(inside, x_flat, x_bcs_f), x_flat
+        )
+        return x_flat.reshape(out_shape)
 
     # ---- DDIM sampling (fast path; addition over the reference) -------------
 

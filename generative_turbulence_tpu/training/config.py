@@ -65,6 +65,11 @@ class ModelConfig:
     sampler: str = "ddpm"  # or "ddim"
     ddim_steps: int = 50
     ddim_eta: float = 0.0
+    # DDPM scan chunking: dispatch the ancestral scan in spans of this many
+    # steps (0 = one scan).  A full 500-step scan is a single ~100 s device
+    # dispatch, which remote-dispatch runtimes kill; chunks are RNG-exact
+    # equal to the single scan (see GaussianDiffusion.p_sample_span).
+    sampler_chunk: int = 125
 
     # --- regression specific --------------------------------------------------
     context_window: int = 6

@@ -214,6 +214,47 @@ class DiffusionTask:
 
         return sample
 
+    @functools.cached_property
+    def _ddpm_chunk_fns(self):
+        """Jitted (init, span, finalize) for host-chained ancestral sampling.
+
+        The span program takes the chunk's timestep offset as a traced
+        scalar and the chunk's rng keys as data, so ONE compilation serves
+        every chunk position; chaining reproduces p_sample_loop bit-for-bit
+        for the same rng (pinned by test)."""
+
+        @jax.jit
+        def init(cells: jnp.ndarray, grid: GridMap, rng: jax.Array):
+            x_bcs = self._model_input(cells, grid)
+            rng_init, rng_scan = jax.random.split(rng)
+            x_t = self.diffusion.p_sample_init(x_bcs, grid, rng_init)
+            rngs = jax.random.split(rng_scan, self.cfg.timesteps)
+            return x_t, rngs
+
+        @jax.jit
+        def span(params, x_t, cells, grid, t_hi, rngs):
+            x_bcs = self._model_input(cells, grid)
+            eps_fn = self._eps_fn(params, grid)
+            return self.diffusion.p_sample_span(eps_fn, x_t, x_bcs, grid, t_hi, rngs)
+
+        @jax.jit
+        def finalize(x: jnp.ndarray, grid: GridMap):
+            x = self.normalizer.denormalize(x)
+            return gather_cells(x, grid)
+
+        return init, span, finalize
+
+    def _sample_ddpm_chunked(self, params, cells, grid: GridMap, rng: jax.Array):
+        init, span, finalize = self._ddpm_chunk_fns
+        T, C = self.cfg.timesteps, int(self.cfg.sampler_chunk)
+        x_t, rngs = init(cells, grid, rng)
+        k = 0
+        for t_hi in range(T, 0, -C):
+            n = min(C, t_hi)
+            x_t = span(params, x_t, cells, grid, t_hi, rngs[k : k + n])
+            k += n
+        return finalize(x_t, grid)
+
     # ---- host-level API -------------------------------------------------------
 
     def training_step(
@@ -229,7 +270,16 @@ class DiffusionTask:
 
         Uses the EMA parameters when ema_decay is enabled."""
         cells, grid = shard_batch_arrays(self.mesh, jnp.asarray(batch.cells), batch.grid)
-        out = np.asarray(self._sample_fn(self._sampling_params(state), cells, grid, rng))
+        params = self._sampling_params(state)
+        chunked = (
+            self.cfg.sampler != "ddim"
+            and self.cfg.sampler_chunk
+            and self.cfg.sampler_chunk < self.cfg.timesteps
+        )
+        if chunked:
+            out = np.asarray(self._sample_ddpm_chunked(params, cells, grid, rng))
+        else:
+            out = np.asarray(self._sample_fn(params, cells, grid, rng))
         return out[:, : batch.metadata.n_cells]
 
     def eval_step(self, state: TrainState, batch: Batch, rng: jax.Array, phase: str):

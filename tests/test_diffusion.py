@@ -142,6 +142,35 @@ class TestSampling:
         assert (err * inside).max() < 0.05
         assert (err * (1 - inside)).max() == 0.0
 
+    @pytest.mark.parametrize("noise_bcs", [True, False])
+    def test_chunked_spans_match_single_scan(self, small_grid, noise_bcs):
+        """Host-chained p_sample_span chunks must reproduce p_sample_loop
+        bit-for-bit for the same rng (the chunked path exists so DDPM-500
+        never issues a single ~100 s device dispatch; see p_sample_span)."""
+        gd = GaussianDiffusion.create(
+            beta_schedule="log-snr-linear", timesteps=23, noise_bcs=noise_bcs
+        )
+        rng = jax.random.PRNGKey(0)
+        x0_cells = jax.random.normal(rng, (2, small_grid.n_cells, 4))
+        x0 = embed_cells(x0_cells, small_grid)
+        eps_fn = _oracle_eps_fn(gd, x0)
+
+        sample_rng = jax.random.PRNGKey(3)
+        full = gd.p_sample_loop(eps_fn, x0, small_grid, sample_rng)
+
+        rng_init, rng_scan = jax.random.split(sample_rng)
+        x_t = gd.p_sample_init(x0, small_grid, rng_init)
+        rngs = jax.random.split(rng_scan, 23)
+        span = jax.jit(
+            lambda x, t_hi, r: gd.p_sample_span(eps_fn, x, x0, small_grid, t_hi, r)
+        )
+        C, k = 10, 0  # uneven chunks: 10 + 10 + 3
+        for t_hi in range(23, 0, -C):
+            n = min(C, t_hi)
+            x_t = span(x_t, jnp.asarray(t_hi), rngs[k : k + n])
+            k += n
+        np.testing.assert_array_equal(np.asarray(x_t), np.asarray(full))
+
     def test_start_from_partial_noise(self, small_grid):
         gd = GaussianDiffusion.create(beta_schedule="log-snr-linear", timesteps=60)
         x0 = embed_cells(jnp.ones((1, small_grid.n_cells, 4)), small_grid)

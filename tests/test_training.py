@@ -66,6 +66,27 @@ def tiny_config(synthetic_root, tmp_path):
     ).resolved()
 
 
+def test_task_chunked_ddpm_matches_single_scan(tiny_config):
+    """task.sample with sampler_chunk must equal the single-scan sampler for
+    the same rng (host-chained spans; see diffusion_task._sample_ddpm_chunked)."""
+    import dataclasses
+
+    import jax
+
+    from generative_turbulence_tpu.training.factory import instantiate_data_and_task
+
+    dm, task = instantiate_data_and_task(tiny_config)
+    batch = next(iter(dm.val_batches()))
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(5)
+
+    task.cfg = dataclasses.replace(task.cfg, sampler="ddpm", sampler_chunk=0)
+    full = task.sample(state, batch, rng)
+    task.cfg = dataclasses.replace(task.cfg, sampler_chunk=2)  # 2+2+1 of T=5
+    chunked = task.sample(state, batch, rng)
+    np.testing.assert_array_equal(chunked, full)
+
+
 @pytest.mark.slow
 
 
