@@ -10,8 +10,10 @@ from .schema import (  # noqa: F401
 from .grid import GridMap, embed_cells, gather_cells, scatter_cells_into  # noqa: F401
 from .dataset import (  # noqa: F401
     CaseDataset,
+    DeviceFrameCache,
     GeometryPureBatches,
     EvaluationBatches,
     DataModule,
+    HostBufferPool,
 )
 from .sequence import SequenceDataset, SequenceDataModule  # noqa: F401

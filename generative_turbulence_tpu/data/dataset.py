@@ -71,9 +71,12 @@ class Batch:
 
         Called from the prefetch thread, this double-buffers H2D: the next
         batch's transfer rides alongside the current step's compute instead
-        of serializing into the jitted call's argument upload."""
+        of serializing into the jitted call's argument upload.  A no-op when
+        ``cells`` is already a device array (device-resident frame cache)."""
         import jax
 
+        if isinstance(self.cells, jax.Array):
+            return self
         return dataclasses.replace(self, cells=jax.device_put(self.cells))
 
 
@@ -362,6 +365,133 @@ def collate_pooled(
     )
 
 
+class DeviceFrameCache:
+    """Keep whole training cases' frames device-resident in bfloat16.
+
+    On hosts whose accelerator link is low-bandwidth (this container's axon
+    tunnel sustains ~10 MB/s H2D while the device step is ~1 s), re-uploading
+    ~35 MB of cell data per batch caps training at the link rate, not the
+    chip: the r3 shapes run spent 3-4x the device step waiting on transfers.
+    Each case's valid frames are uploaded ONCE — bucket-padded and cast to
+    bfloat16, the training compute dtype — and every later batch is a single
+    on-device gather.  Capacity-capped in bytes; once full (or on device OOM,
+    which permanently disables further uploads) the remaining cases stream
+    through the normal host path.
+
+    The reference streams all data through torch DataLoader workers
+    (``turbdiff/data/ofles.py:483-548``); residency is a TPU-native addition
+    for remote-attached devices.
+    """
+
+    def __init__(self, capacity_bytes: int):
+        self.capacity = int(capacity_bytes)
+        self.used = 0
+        self.full = False
+        self._frames: Dict[int, object] = {}  # file_idx -> (T, nb, F) bf16 device array
+        # Private grow-only host staging buffers (NOT the shared batch pool:
+        # two pool.scratch calls of one dtype would alias).  A single cast
+        # buffer is safe because _upload fences the transfer before returning.
+        self._stacked: Optional[np.ndarray] = None
+        self._view: Optional[np.ndarray] = None
+        self._cast: Optional[np.ndarray] = None
+
+    def _grow(self, name: str, shape: Tuple[int, ...], dtype) -> np.ndarray:
+        buf = getattr(self, name)
+        n = int(np.prod(shape))
+        if buf is None or buf.size < n:
+            buf = np.empty(n, dtype)
+            setattr(self, name, buf)
+        return buf[:n].reshape(shape)
+
+    def _upload(self, dataset: "CaseDataset", file_idx: int, cell_bucket: int,
+                variables: Tuple[Variable, ...], pool: Optional[HostBufferPool]):
+        import jax
+        import jax.numpy as jnp
+
+        steps = np.asarray(dataset.valid_steps[file_idx], dtype=np.int64)
+        T = int(steps.size)
+        F = total_dims(variables)
+        with dataset.repo.open(file_idx) as f:
+            group = f["data"]
+            n = int(group[variables[0].key].shape[1])
+            nb = -(-n // cell_bucket) * cell_bucket if cell_bucket else n
+            nbytes = T * nb * F * 2
+            if self.used + nbytes > self.capacity:
+                self.full = True
+                return None
+            stacked = self._grow("_stacked", (T, nb, F), np.float32)
+            c0 = 0
+            sel = np.s_[steps.tolist()]
+            for v in variables:
+                dset = group[v.key]
+                dims = int(dset.shape[2]) if dset.ndim == 3 else 1
+                view = self._grow(
+                    "_view", (T, n, dims) if dset.ndim == 3 else (T, n), np.float32
+                )
+                dset.read_direct(view, sel)
+                stacked[:, :n, c0 : c0 + dims] = view.reshape(T, n, dims)
+                c0 += dims
+            if nb > n:
+                stacked[:, n:, :] = 0.0
+        cast = self._grow("_cast", (T, nb, F), jnp.bfloat16)
+        np.copyto(cast, stacked, casting="unsafe")
+        try:
+            # jnp.array (copy=True semantics), NOT device_put: on CPU backends
+            # device_put is zero-copy, and a resident array aliasing the
+            # reused cast buffer would be silently overwritten by the next
+            # case's upload.
+            dev = jnp.array(cast)
+            # Fence: fetch one element so the host buffer is reusable (plain
+            # block_until_ready is unreliable on the axon backend).
+            float(np.asarray(dev[0, 0, 0], dtype=np.float32))
+        except Exception as e:  # RESOURCE_EXHAUSTED and friends: stop caching
+            if "RESOURCE_EXHAUSTED" not in str(e) and "memory" not in str(e).lower():
+                raise
+            self.full = True
+            return None
+        self.used += nbytes
+        self._frames[file_idx] = dev
+        return dev
+
+    def batch(
+        self,
+        dataset: "CaseDataset",
+        index: Sequence[int],
+        stats: FieldStats,
+        variables: Tuple[Variable, ...],
+        cell_bucket: int,
+        pool: Optional[HostBufferPool],
+    ) -> Optional[Batch]:
+        """Produce a Batch from resident frames, or None to stream instead."""
+        file_idx, local = dataset.locate(np.asarray(index))
+        steps = dataset.valid_steps[file_idx]
+        # Resident rows are ordered by valid-frame position, so batches gather
+        # by LOCAL position (sorted: batch order is exchangeable, and sorted
+        # gathers match collate_pooled's frame order for equivalence tests).
+        positions = np.sort(np.asarray(local, dtype=np.int32))
+        if positions.size > 1 and np.any(np.diff(positions) == 0):
+            return None  # duplicate top-up frames: let the host path handle it
+        dev = self._frames.get(file_idx)
+        if dev is None:
+            if self.full:
+                return None
+            dev = self._upload(dataset, file_idx, cell_bucket, variables, pool)
+            if dev is None:
+                return None
+        cells = dev[positions]  # eager on-device gather, one dispatch
+        frame_idxs = np.asarray([int(steps[i]) for i in positions])
+        t = dataset.repo.times[file_idx][frame_idxs]
+        meta = dataset.repo.read_metadata(file_idx)
+        return Batch(
+            cells=cells,
+            t=np.asarray(t),
+            grid=GridMap.from_metadata(meta, variables, bucket=cell_bucket),
+            metadata=meta,
+            stats=stats,
+            variables=variables,
+        )
+
+
 def prefetch(iterator: Iterator, size: int = 2, transform=None) -> Iterator:
     """Run ``iterator`` in a host thread, keeping ``size`` items ready.
 
@@ -412,6 +542,8 @@ class DataModule:
         device_prefetch: bool = True,
         cell_bucket: int = 16384,
         buffer_pool: bool = True,
+        device_cache_gb: float = 0.0,
+        transfer_dtype: Optional[str] = None,
     ):
         self.root = Path(root)
         self.discard_first_seconds = discard_first_seconds
@@ -426,6 +558,19 @@ class DataModule:
         self.device_prefetch = device_prefetch
         self.cell_bucket = cell_bucket
         self.buffer_pool = buffer_pool
+        # Residency/cast apply to TRAINING batches only: evaluation ground
+        # truth stays float32 end to end so metric values are exact.
+        self.device_cache = (
+            DeviceFrameCache(int(device_cache_gb * 1e9)) if device_cache_gb > 0 else None
+        )
+        # bfloat16 halves H2D bytes on the slow remote-device link; implied
+        # for streamed train batches when the device cache is on so the train
+        # step compiles for ONE input dtype.
+        if transfer_dtype is None and self.device_cache is not None:
+            transfer_dtype = "bfloat16"
+        if transfer_dtype not in (None, "bfloat16", "float32"):
+            raise ValueError(f"transfer_dtype must be bfloat16/float32, got {transfer_dtype}")
+        self.transfer_dtype = None if transfer_dtype == "float32" else transfer_dtype
 
         self.stats: Optional[FieldStats] = None
         self.train_dataset: Optional[CaseDataset] = None
@@ -459,7 +604,7 @@ class DataModule:
         sampler = GeometryPureBatches(
             self.train_dataset, batch_size=self.batch_size, shuffle=True, seed=self.seed
         )
-        return self._iterate(self.train_dataset, sampler)
+        return self._iterate(self.train_dataset, sampler, train=True)
 
     def n_train_batches(self) -> int:
         return len(
@@ -484,16 +629,28 @@ class DataModule:
         )
         return self._iterate(self.test_dataset, sampler)
 
-    def _iterate(self, dataset: CaseDataset, sampler) -> Iterator[Batch]:
+    def _iterate(
+        self, dataset: CaseDataset, sampler, *, train: bool = False
+    ) -> Iterator[Batch]:
         # The pool is safe precisely because of the bounded pipeline shape:
         # at most prefetch_size + 2 batches are alive at once, and slots=6
         # cycles reuse far behind that horizon.  Without device_prefetch the
         # consumer sees the pooled numpy array directly, which is only valid
         # if it does not retain batches — the training/eval loops do not.
         pool = HostBufferPool() if self.buffer_pool else None
+        cache = self.device_cache if train else None
+        cast_dtype = self.transfer_dtype if train else None
 
         def gen():
             for idxs in sampler:
+                if cache is not None:
+                    batch = cache.batch(
+                        dataset, idxs, self.stats, self.variables,
+                        self.cell_bucket, pool,
+                    )
+                    if batch is not None:
+                        yield batch
+                        continue
                 if pool is not None:
                     yield collate_pooled(
                         dataset, idxs, self.stats, self.variables,
@@ -504,5 +661,20 @@ class DataModule:
                         dataset[idxs], self.stats, self.variables, self.cell_bucket
                     )
 
-        transform = Batch.device_put if self.device_prefetch else None
+        if not self.device_prefetch:
+            transform = None
+        elif cast_dtype == "bfloat16":
+            cast_pool = pool if pool is not None else HostBufferPool()
+
+            def transform(batch: Batch) -> Batch:
+                import jax
+                import jax.numpy as jnp
+
+                if isinstance(batch.cells, jax.Array):
+                    return batch
+                buf = cast_pool.get(batch.cells.shape, jnp.bfloat16)
+                np.copyto(buf, batch.cells, casting="unsafe")
+                return dataclasses.replace(batch, cells=jax.device_put(buf))
+        else:
+            transform = Batch.device_put
         return prefetch(gen(), size=self.prefetch_size, transform=transform)

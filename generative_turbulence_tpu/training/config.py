@@ -156,6 +156,15 @@ class DataConfig:
     # serve batches from cycled warm host buffers (read_direct + in-place
     # bucket pad) instead of fresh allocations; see data.HostBufferPool
     buffer_pool: bool = True
+    # keep up to this many GB of TRAINING frames device-resident in bfloat16
+    # (uploaded once, then every batch is an on-device gather); 0 = off.
+    # Pays off when the host->device link is slower than the device step
+    # (this container's remote tunnel: ~10 MB/s vs ~1 s steps).
+    device_cache_gb: float = 0.0
+    # cast streamed TRAIN batches to this dtype before the H2D transfer
+    # (halves bytes on slow links); eval batches always transfer float32.
+    # None = float32; implied bfloat16 when device_cache_gb > 0.
+    transfer_dtype: Optional[str] = None
     # multi-host runs: round-robin whole TRAIN cases across hosts
     shard_by_host: bool = False
 

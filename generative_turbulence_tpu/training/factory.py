@@ -42,6 +42,8 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             device_prefetch=dc.device_prefetch,
             cell_bucket=dc.cell_bucket,
             buffer_pool=dc.buffer_pool,
+            device_cache_gb=dc.device_cache_gb,
+            transfer_dtype=dc.transfer_dtype,
         )
         dm.setup("fit")
         # LR schedule length = epochs * optimizer updates/epoch
