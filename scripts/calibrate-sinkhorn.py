@@ -35,6 +35,12 @@ def main():
         help="subsample this many regions (same subset for both solvers) so "
         "the exact host EMD finishes in minutes; weights are renormalized",
     )
+    ap.add_argument(
+        "--sweep",
+        default=None,
+        help="comma list of reg:iters pairs (e.g. 0.02:300,0.01:500) — the "
+        "exact EMD runs once and every Sinkhorn config is scored against it",
+    )
     args = ap.parse_args()
 
     import numpy as np
@@ -58,20 +64,46 @@ def main():
     data = repo.read(0, sorted(set(late)))
 
     results = {"case": args.case, "samples": k, "max_regions": args.max_regions}
-    for solver in ("sinkhorn", "exact"):
+
+    def run(solver, **kw):
         tic = time.time()
         metric = WassersteinMetric(
-            max_workers=args.workers, solver=solver, max_regions=args.max_regions
+            max_workers=args.workers,
+            solver=solver,
+            max_regions=args.max_regions,
+            **kw,
         )
         out = metric(samples, data, stats)
         wall = time.time() - tic
-        results[solver] = {"wasserstein": out.get("wasserstein"), "seconds": wall}
-        print(f"{solver}: {out.get('wasserstein')} ({wall:.0f}s)", flush=True)
+        return out.get("wasserstein"), wall
 
-    ex, sk = results["exact"]["wasserstein"], results["sinkhorn"]["wasserstein"]
-    if ex:
-        results["relative_error"] = abs(sk - ex) / abs(ex)
-        print(f"relative error: {results['relative_error']:.4f}")
+    configs = [(0.02, 300)]
+    if args.sweep:
+        configs = [
+            (float(r), int(n))
+            for r, n in (pair.split(":") for pair in args.sweep.split(","))
+        ]
+
+    ex, ex_wall = run("exact")
+    results["exact"] = {"wasserstein": ex, "seconds": ex_wall}
+    print(f"exact: {ex} ({ex_wall:.0f}s)", flush=True)
+
+    results["sinkhorn"] = []
+    for reg, iters in configs:
+        sk, wall = run("sinkhorn", sinkhorn_reg=reg, sinkhorn_iters=iters)
+        entry = {
+            "reg": reg,
+            "iters": iters,
+            "wasserstein": sk,
+            "seconds": wall,
+            "relative_error": abs(sk - ex) / abs(ex) if ex else None,
+        }
+        results["sinkhorn"].append(entry)
+        print(
+            f"sinkhorn reg={reg} iters={iters}: {sk} ({wall:.0f}s) "
+            f"rel_err={entry['relative_error']:.4f}",
+            flush=True,
+        )
 
     out_path = Path(args.out) if args.out else Path("docs/runs/sinkhorn-calibration.json")
     out_path.parent.mkdir(parents=True, exist_ok=True)

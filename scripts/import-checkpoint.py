@@ -78,6 +78,12 @@ def load_lightning_ckpt(
                 )
             return torch.load(path, map_location="cpu", weights_only=False)
     except ModuleNotFoundError:
+        if not trust_pickle:
+            raise SystemExit(
+                "checkpoint needs a full (code-executing) unpickle; it is "
+                "downloaded content, so this requires the explicit "
+                "--trust-pickle opt-in"
+            )
         if reference_root is None:
             raise SystemExit(
                 "checkpoint pickle references reference-package classes; "
