@@ -141,6 +141,7 @@ def mock_solve(
     *,
     n_frames: int = 4,
     seed: int = 0,
+    time_offset: float = 0.025,
 ) -> None:
     """Write synthetic solved time directories onto a generated case.
 
@@ -150,6 +151,12 @@ def mock_solve(
     mean flow + wake deficit + von Karman fluctuations, geometry-dependent.
     Zero on no-slip cells is NOT enforced (the solver enforces BCs on faces,
     not cells).
+
+    ``time_offset`` stamps the frames AFTER the laminar ramp-up window: mock
+    frames are statistically developed turbulence from frame 0, so offsetting
+    by the shapes protocol's ``discard_first_seconds=0.025`` keeps production
+    configs working unchanged on mock datasets (a 48-frame mock case stamped
+    from t=1e-4 would otherwise be discarded wholesale).
     """
     from .foam_io import write_field
 
@@ -185,7 +192,7 @@ def mock_solve(
     }
 
     for i in range(n_frames):
-        t = (i + 1) * config.write_interval
+        t = time_offset + (i + 1) * config.write_interval
         tdir = Path(case_dir) / f"{t:.6g}"
         tdir.mkdir(exist_ok=True)
         fields = flow.cell_frame(i)
@@ -204,6 +211,7 @@ def mock_solve_direct(
     n_frames: int = 4,
     seed: int = 0,
     mesh: Optional[tuple] = None,
+    time_offset: float = 0.025,
 ) -> Path:
     """Mock-solve straight into ``data.h5``, skipping the ASCII time dirs.
 
@@ -217,7 +225,7 @@ def mock_solve_direct(
     from .convert import foam_case_to_h5
 
     flow = _mock_case_flow(config, seed)
-    times = [(i + 1) * config.write_interval for i in range(n_frames)]
+    times = [time_offset + (i + 1) * config.write_interval for i in range(n_frames)]
     frames = [flow.cell_frame(i) for i in range(n_frames)]
     return foam_case_to_h5(
         case_dir,
@@ -233,6 +241,7 @@ def refresh_mock_frames(
     *,
     n_frames: int = 4,
     seed: int = 0,
+    time_offset: float = 0.025,
 ) -> Path:
     """Replace only ``data/*`` of an existing case's data.h5 with freshly
     mock-solved frames, keeping the mesh/grid/BC groups (the geometry is
@@ -254,7 +263,7 @@ def refresh_mock_frames(
         data.create_dataset(
             "times",
             data=np.asarray(
-                [(i + 1) * config.write_interval for i in range(n_frames)]
+                [time_offset + (i + 1) * config.write_interval for i in range(n_frames)]
             ),
         )
         shapes = {"u": (n_cells, 3), "p": (n_cells,), "k": (n_cells,), "nut": (n_cells,)}

@@ -248,6 +248,18 @@ class TestCaseGeneration:
         for desc in meta.boundaries.values():
             assert not np.intersect1d(desc["idx"], meta.cell_idx).size
 
+    def test_mock_frames_survive_production_discard(self, solved_case):
+        """Mock frames are stamped AFTER the laminar ramp-up window so the
+        shapes protocol's ``discard_first_seconds=0.025`` (the reference's
+        convention, config/shapes_diffusion.yaml) keeps them.  Regression: a
+        48-frame mock case stamped from t=1e-4 was discarded wholesale and
+        training failed with an empty val split."""
+        case_dir, _ = solved_case
+        h5_file = case_dir / "data.h5"
+        with h5py.File(h5_file, "r") as f:
+            times = f["data/times"][:]
+        assert (times > 0.025).all(), times
+
     def test_polymesh_owner_ordering(self, solved_case):
         case_dir, _ = solved_case
         from generative_turbulence_tpu.toolchain.convert import read_mesh
