@@ -102,7 +102,10 @@ def main(argv=None):
     # NOTE on synchronization: on this remote-TPU backend,
     # jax.block_until_ready does NOT reliably wait for execution — only a
     # value fetch does.  Timed functions therefore return SCALARS and timing
-    # brackets a float() fetch.
+    # brackets a float() fetch.  The repeat statistic is the MINIMUM: the
+    # tunnel adds one-sided latency noise (dispatch ~28 ms, occasional
+    # multi-second stalls), so the fastest repeat is the best estimator of
+    # the true device cost (run-to-run spread of the mean was ~4%).
     def timed(fn, make_inputs, n=3, label=""):
         print(f"{label}: compiling...", file=sys.stderr, flush=True)
         tic = time.perf_counter()
@@ -112,10 +115,12 @@ def main(argv=None):
             file=sys.stderr,
             flush=True,
         )
-        tic = time.perf_counter()
+        best = float("inf")
         for i in range(n):
+            tic = time.perf_counter()
             float(fn(*make_inputs(i + 1)))
-        return (time.perf_counter() - tic) / n
+            best = min(best, time.perf_counter() - tic)
+        return best
 
     def fwd_time(m, label):
         fwd = jax.jit(
@@ -156,7 +161,7 @@ def main(argv=None):
 
             return gd.p_sample_loop(eps_fn, x0, grid, r, start_from=PROBE).mean()
 
-        ddim_s = timed(ddim_fn_for(model16), inputs, n=2, label=f"bf16-ddim{PROBE}")
+        ddim_s = timed(ddim_fn_for(model16), inputs, n=3, label=f"bf16-ddim{PROBE}")
         ddim_s = ddim_s / PROBE * 50
         ddpm_s = timed(ddpm_fn, inputs, n=2, label=f"bf16-ddpm{PROBE}")
         ddpm_s = ddpm_s / PROBE * timesteps

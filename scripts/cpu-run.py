@@ -14,6 +14,16 @@ import os
 import runpy
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import ensure_malloc_reuse  # noqa: E402
+
+# Re-exec for the warm-heap malloc env HERE, while argv still carries this
+# wrapper: the target scripts call ensure_malloc_reuse() too, and if their
+# call performs the re-exec, the rewritten sys.argv drops the wrapper and
+# the child comes back up on the TPU backend (racing whatever owns the
+# chip).  Doing it first sets the sentinel so the target's call is a no-op.
+ensure_malloc_reuse()
+
 os.environ["JAX_PLATFORMS"] = "cpu"
 # The axon PJRT plugin self-registers at interpreter start and ignores the
 # env var; only the config knob actually forces the CPU backend here.
