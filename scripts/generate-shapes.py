@@ -41,14 +41,25 @@ def main():
     )
     ap.add_argument(
         "--resume", action="store_true",
-        help="skip cases whose data.h5 already carries the analysis artifacts",
+        help="skip cases whose data.h5 already carries the analysis artifacts; "
+        "cases with a data.h5 but missing analyses get only the analyses",
     )
     ap.add_argument(
-        "--analyses", default="all", choices=["all", "eval-only", "none"],
+        "--analyses", default="all", choices=["all", "eval-only", "cheap", "none"],
         help="which cases get the per-case analysis artifacts (mean-flow/"
         "regions/max-tke): 'eval-only' restricts them to val/test cases — "
         "training only needs data.h5 + stats.pickle, and the analyses cost "
-        "minutes per case on one CPU",
+        "minutes per case on one CPU; 'cheap' runs mean-flow + max-tke on "
+        "every case but skips regions.npz (disables only the expensive "
+        "Wasserstein metric)",
+    )
+    ap.add_argument(
+        "--overfit", type=int, default=None, metavar="N",
+        help="build an N-case overfit-diagnostic root: the first N "
+        "TRAIN-split cases, with train/ and val/ symlinking the SAME cases. "
+        "Evaluates in-distribution memorization — a fast check that the "
+        "training stack drives val metrics toward the floor; NOT the "
+        "generalization protocol (that is the full 27/9/9 split).",
     )
     args = ap.parse_args()
 
@@ -84,11 +95,14 @@ def main():
     split = dataset_split(catalog)
     if args.limit is not None:
         split = {k: v[: args.limit] for k, v in split.items()}
-    chosen = [name for names in split.values() for name in names]
+    if args.overfit is not None:
+        names = split["train"][: args.overfit]
+        split = {"train": names, "val": names}
+    chosen = list(dict.fromkeys(n for names in split.values() for n in names))
     eval_names = set(split.get("val", [])) | set(split.get("test", []))
 
     for name in chosen:
-        with_analyses = args.analyses == "all" or (
+        with_analyses = args.analyses in ("all", "cheap") or (
             args.analyses == "eval-only" and name in eval_names
         )
         rects = catalog[name]
@@ -101,12 +115,30 @@ def main():
         case_dir = cases_dir / name
         artifacts = ["data.h5"]
         if with_analyses:
-            artifacts += ["mean-flow.h5", "regions.npz", "max-mean-tke.npy"]
+            artifacts += ["mean-flow.h5", "max-mean-tke.npy"]
+            if args.analyses != "cheap":
+                artifacts += ["regions.npz"]
         if args.resume and all((case_dir / a).exists() for a in artifacts):
             print(f"skipping {name} (complete)")
             continue
         # deterministic per-case seed (builtin str hash is process-salted)
         seed = zlib.crc32(name.encode()) % 2**31
+        if (
+            args.resume
+            and not args.refresh_frames
+            and (case_dir / "data.h5").is_file()
+        ):
+            # data.h5 survived an earlier run: fill in only the analyses.
+            h5 = case_dir / "data.h5"
+            if with_analyses:
+                if not (case_dir / "mean-flow.h5").is_file():
+                    mean_flow(h5, discard_first_seconds=-1.0)
+                if args.analyses != "cheap" and not (case_dir / "regions.npz").is_file():
+                    homogeneous_regions(h5, k=16, discard_first_seconds=-1.0)
+                if not (case_dir / "max-mean-tke.npy").is_file():
+                    max_mean_tke(h5, discard_first_seconds=-1.0)
+            print(f"analyses filled for {name}", flush=True)
+            continue
         if args.refresh_frames:
             h5 = case_dir / "data.h5"
             assert h5.is_file(), f"--refresh-frames: no data.h5 in {case_dir}"
@@ -136,7 +168,8 @@ def main():
                 add_grid_embedding(h5, case_dir)
         if (args.mock_solve or args.mock_direct or args.refresh_frames) and with_analyses:
             mean_flow(h5, discard_first_seconds=-1.0)
-            homogeneous_regions(h5, k=16, discard_first_seconds=-1.0)
+            if args.analyses != "cheap":
+                homogeneous_regions(h5, k=16, discard_first_seconds=-1.0)
             max_mean_tke(h5, discard_first_seconds=-1.0)
 
     # Split symlinks (same layout as the reference: root/{split}/{case}).
