@@ -178,8 +178,15 @@ class DiffusionTask:
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             state = state.apply_gradients(grads=grads)
             if ema_decay > 0 and state.ema_params is not None:
+                # Warmed-up EMA: with a fixed decay d the random init keeps
+                # d^t of the weight (0.999^600 = 0.55 — the EMA samples half
+                # from an untrained net for the first ~1k steps).  Ramping the
+                # decay as (1+t)/(10+t) makes the EMA an unbiased running
+                # average early and the asymptotic d later.
+                t = state.step.astype(jnp.float32)
+                decay_t = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
                 ema = jax.tree_util.tree_map(
-                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    lambda e, p: decay_t * e + (1.0 - decay_t) * p.astype(e.dtype),
                     state.ema_params,
                     state.params,
                 )

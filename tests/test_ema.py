@@ -44,8 +44,9 @@ def test_ema_tracks_params(synthetic_root, tmp_path):
     state, _ = task.training_step(state, batch, jax.random.PRNGKey(1))
     p1 = np.asarray(jax.tree_util.tree_leaves(state.params)[0])
     e1 = np.asarray(jax.tree_util.tree_leaves(state.ema_params)[0])
-    # EMA after one step: 0.5 * p0 + 0.5 * p1
-    np.testing.assert_allclose(e1, 0.5 * p0 + 0.5 * p1, rtol=1e-5, atol=1e-7)
+    # Warmed-up EMA after one step (t=1): decay = min(0.5, (1+1)/(10+1))
+    d = min(0.5, 2.0 / 11.0)
+    np.testing.assert_allclose(e1, d * p0 + (1 - d) * p1, rtol=1e-5, atol=1e-7)
     # sampling uses the EMA params
     sp = task._sampling_params(state)
     np.testing.assert_allclose(
