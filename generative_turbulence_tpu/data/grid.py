@@ -27,7 +27,58 @@ from .schema import CaseMetadata
 from .variables import Variable, total_dims
 
 
-_GRIDMAP_CACHE: dict = {}
+class _GridMapLRU:
+    """LRU cache of device-resident GridMaps, bounded in BYTES (not entries):
+    each entry pins ~4 MB of index tables in HBM, and a wholesale clear would
+    force every live case to re-upload its indices over the (slow) tunnel."""
+
+    def __init__(self, max_bytes: int = 512 * 1024 * 1024):
+        from collections import OrderedDict
+
+        self.max_bytes = max_bytes
+        self._entries: "OrderedDict[tuple, tuple]" = OrderedDict()
+        self._total = 0
+
+    @staticmethod
+    def _nbytes(grid) -> int:
+        return sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for a in (
+                grid.cell_idx,
+                grid.dirichlet_idx,
+                grid.dirichlet_vals,
+                grid.cell_types,
+                grid.inside_mask,
+            )
+        )
+
+    def get(self, key):
+        hit = self._entries.get(key)
+        if hit is None:
+            return None
+        self._entries.move_to_end(key)
+        return hit[0]
+
+    def put(self, key, grid):
+        nbytes = self._nbytes(grid)
+        old = self._entries.pop(key, None)
+        if old is not None:
+            self._total -= old[1]
+        self._entries[key] = (grid, nbytes)
+        self._total += nbytes
+        while self._total > self.max_bytes and len(self._entries) > 1:
+            _, (_, evicted) = self._entries.popitem(last=False)
+            self._total -= evicted
+
+    def clear(self):
+        self._entries.clear()
+        self._total = 0
+
+    def __len__(self):
+        return len(self._entries)
+
+
+_GRIDMAP_CACHE = _GridMapLRU()
 
 
 @jax.tree_util.register_pytree_node_class
@@ -92,9 +143,7 @@ class GridMap:
             grid = GridMap.from_metadata(
                 meta, variables, cached=False, bucket=bucket
             )
-            if len(_GRIDMAP_CACHE) > 128:  # bound device memory across many cases
-                _GRIDMAP_CACHE.clear()
-            _GRIDMAP_CACHE[key] = grid
+            _GRIDMAP_CACHE.put(key, grid)
             return grid
         d_idx, d_vals = meta.dirichlet_table(variables)
         cell_idx = np.asarray(meta.cell_idx, dtype=np.int32)

@@ -5,4 +5,3 @@ from .blocks import ConvBlock, ResnetBlock, VoxelAttention, UNet  # noqa: F401
 from .unet import DenoisingModel  # noqa: F401
 from .dilresnet import DilResNet  # noqa: F401
 from .tfnet import TFNet  # noqa: F401
-from .mlp import MLP  # noqa: F401

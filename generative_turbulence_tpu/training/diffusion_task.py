@@ -167,6 +167,7 @@ class DiffusionTask:
     @functools.cached_property
     def train_step(self):
         ema_decay = self.cfg.ema_decay
+        accumulate_steps = max(1, int(self.cfg.accumulate_steps))
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def step(state: DiffusionState, cells: jnp.ndarray, grid: GridMap, rng: jax.Array):
@@ -183,10 +184,24 @@ class DiffusionTask:
                 # from an untrained net for the first ~1k steps).  Ramping the
                 # decay as (1+t)/(10+t) makes the EMA an unbiased running
                 # average early and the asymptotic d later.
-                t = state.step.astype(jnp.float32)
+                #
+                # With optax.MultiSteps (accumulate_steps > 1) state.step
+                # counts micro-steps while params only change on emission
+                # steps, so: warm-up t counts REAL updates, and the EMA blend
+                # is a no-op (decay 1.0) on non-emission micro-steps.
+                t = (state.step // accumulate_steps).astype(jnp.float32)
                 decay_t = jnp.minimum(ema_decay, (1.0 + t) / (10.0 + t))
+                if accumulate_steps > 1:
+                    emitted = (state.step % accumulate_steps) == 0
+                    decay_t = jnp.where(emitted, decay_t, 1.0)
                 ema = jax.tree_util.tree_map(
-                    lambda e, p: decay_t * e + (1.0 - decay_t) * p.astype(e.dtype),
+                    # Blend in f32 and cast back so non-f32 EMA leaves keep
+                    # their dtype (decay_t * e would promote them to f32 and
+                    # change the donated-state output pytree).
+                    lambda e, p: (
+                        decay_t * e.astype(jnp.float32)
+                        + (1.0 - decay_t) * p.astype(jnp.float32)
+                    ).astype(e.dtype),
                     state.ema_params,
                     state.params,
                 )
@@ -293,7 +308,16 @@ class DiffusionTask:
         store = self.val_sample_store if phase == "val" else self.test_sample_store
         samples = self.sample(state, batch, rng)
         store.add_samples(samples, batch.metadata)
-        return {}
+        # Cheap amplitude diagnostics: an undertrained eps-net blows samples up
+        # orders of magnitude through the 500-step chain (see
+        # docs/runs/overfit-4case/diagnosis.md) — u-std vs GT scale is the
+        # earliest signal of that failure mode.
+        u_dims = self.variables[0].dims if self.variables[0] is Variable.U else 3
+        u = samples[..., :u_dims]
+        return {
+            f"{phase}/sample-u-std": float(np.std(u)),
+            f"{phase}/sample-u-absmax": float(np.abs(u).max()),
+        }
 
     def on_eval_start(self, phase: str):
         (self.val_sample_store if phase == "val" else self.test_sample_store).reset()
