@@ -128,6 +128,26 @@ def main(argv=None):
         )
         return timed(fwd, lambda i: (params, x0 + i, t0, grid), n=5, label=label)
 
+    def fwd_flops(m):
+        """XLA's static FLOP count for one batched forward (HLO cost
+        analysis; computed client-side, no device run)."""
+        fwd = jax.jit(
+            lambda params, x, t, grid: m.apply(params, x, t, grid.cell_types).mean()
+        )
+        try:
+            cost = fwd.lower(params, x0, t0, grid).compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0))
+        except Exception as e:
+            print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+            return 0.0
+
+    # Peak dense bf16 matmul throughput of one TPU v5e (v5 lite) chip.  MFU =
+    # achieved model FLOPs/s over peak — the absolute utilization number the
+    # relative vs_baseline (an A100 self-estimate) cannot give.
+    PEAK_BF16_FLOPS = 197e12
+
     inputs = lambda i: (params, x0, grid, jax.random.PRNGKey(i))  # noqa: E731
     aux = {}
 
@@ -177,6 +197,17 @@ def main(argv=None):
             batch / (step32 * SCAN_OVERHEAD * 50) * 60, 3
         )
         aux["scan_overhead_vs_fwd"] = round((ddim_s / 50) / step16, 3)
+
+    # Absolute utilization: one UNet eval's FLOPs over the measured per-step
+    # time of the SERVING path (one DDIM scan step = UNet eval + diffusion
+    # algebra + BC re-noising), against the chip's bf16 peak.
+    flops = fwd_flops(model16)
+    if flops > 0:
+        if not args.fast:
+            step_time = ddim_s / 50
+            aux["mfu_ddim_step"] = round(flops / step_time / PEAK_BF16_FLOPS, 4)
+        aux["mfu_bf16_fwd"] = round(flops / step16 / PEAK_BF16_FLOPS, 4)
+        aux["unet_fwd_tflops_batch8"] = round(flops / 1e12, 3)
 
     ddpm_tput = batch / ddpm_s * 60.0
     ddim_tput = batch / ddim_s * 60.0

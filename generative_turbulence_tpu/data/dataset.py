@@ -194,19 +194,38 @@ class GeometryPureBatches:
 
 
 class EvaluationBatches:
-    """Eval sampler: ``samples_per_file`` evenly spaced frames per case."""
+    """Eval sampler: ``samples_per_file`` evenly spaced frames per case.
 
-    def __init__(self, dataset, *, batch_size: int, samples_per_file: int):
+    ``shard=(rank, world)`` restricts iteration to the cases with
+    ``case_idx % world == rank`` — distributed evaluation splits whole cases
+    over hosts (the geometry-pure invariant maps onto ranks; metrics are
+    merged afterwards, see ``eval.metrics.SampleMetricsCollection.compute``).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        *,
+        batch_size: int,
+        samples_per_file: int,
+        shard: tuple = (0, 1),
+    ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.samples_per_file = samples_per_file
+        self.shard = tuple(shard)
 
     def __len__(self) -> int:
         per_case = math.ceil(self.samples_per_file / self.batch_size)
-        return self.dataset.repo.n_cases * per_case
+        rank, world = self.shard
+        n_mine = len(range(rank, self.dataset.repo.n_cases, world))
+        return n_mine * per_case
 
     def __iter__(self) -> Iterator[List[int]]:
-        for idxs in self.dataset.sample_idxs_by_file():
+        rank, world = self.shard
+        for case_idx, idxs in enumerate(self.dataset.sample_idxs_by_file()):
+            if case_idx % world != rank:
+                continue
             if not len(idxs):  # every frame discarded (short case)
                 continue
             picks = np.round(
@@ -539,6 +558,7 @@ class DataModule:
         prefetch_size: int = 2,
         seed: int = 0,
         shard_by_host: bool = False,
+        shard_eval: bool = False,
         device_prefetch: bool = True,
         cell_bucket: int = 16384,
         buffer_pool: bool = True,
@@ -555,6 +575,7 @@ class DataModule:
         self.prefetch_size = prefetch_size
         self.seed = seed
         self.shard_by_host = shard_by_host
+        self.shard_eval = shard_eval
         self.device_prefetch = device_prefetch
         self.cell_bucket = cell_bucket
         self.buffer_pool = buffer_pool
@@ -613,11 +634,19 @@ class DataModule:
             )
         )
 
+    def _eval_shard(self) -> tuple:
+        if not self.shard_eval:
+            return (0, 1)
+        import jax
+
+        return (jax.process_index(), jax.process_count())
+
     def val_batches(self) -> Iterator[Batch]:
         sampler = EvaluationBatches(
             self.val_dataset,
             batch_size=self.eval_batch_size,
             samples_per_file=self.val_samples,
+            shard=self._eval_shard(),
         )
         return self._iterate(self.val_dataset, sampler)
 
@@ -626,6 +655,7 @@ class DataModule:
             self.test_dataset,
             batch_size=self.eval_batch_size,
             samples_per_file=self.test_samples,
+            shard=self._eval_shard(),
         )
         return self._iterate(self.test_dataset, sampler)
 

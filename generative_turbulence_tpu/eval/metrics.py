@@ -369,10 +369,8 @@ class SampleMetricsCollection:
         *,
         expensive_metrics: bool = True,
     ) -> Dict[str, float]:
-        values: Dict[str, float] = {}
-        metric_names = set()
-        case_names = sample_store.case_names
-        for case_name in case_names:
+        per_case: Dict[str, Dict[str, float]] = {}
+        for case_name in sample_store.case_names:
             repo = CaseRepository(
                 [self.data_dir / case_name / "data.h5"], sample_store.variables
             )
@@ -387,20 +385,39 @@ class SampleMetricsCollection:
             ).astype(int)
             data = repo.read(0, data_idx)
 
+            case_values: Dict[str, float] = {}
             for metric in self.metrics:
                 if not expensive_metrics and metric.is_expensive():
                     continue
                 for name, value in metric(samples, data, stats).items():
-                    values[self.log_name(case_name, name)] = float(value)
-                    metric_names.add(name)
+                    case_values[name] = float(value)
+            per_case[case_name] = case_values
 
+        # Distributed evaluation: each rank evaluated its shard of the cases
+        # (per-rank SampleStore files); merge the per-case dicts across ranks
+        # so EVERY rank ends with identical global metrics (keeps early
+        # stopping / best-checkpoint decisions consistent cluster-wide).  On
+        # overlapping cases (unsharded multi-host eval) rank 0 wins.
+        from ..parallel.distributed import allgather_objects
+
+        merged: Dict[str, Dict[str, float]] = {}
+        for rank_cases in allgather_objects(per_case):
+            for case_name, case_values in rank_cases.items():
+                merged.setdefault(case_name, case_values)
+
+        values: Dict[str, float] = {}
+        metric_names = set()
+        for case_name, case_values in merged.items():
+            for name, value in case_values.items():
+                values[self.log_name(case_name, name)] = value
+                metric_names.add(name)
         for name in metric_names:
-            case_values = [
+            case_values_list = [
                 values[self.log_name(c, name)]
-                for c in case_names
+                for c in sorted(merged)
                 if self.log_name(c, name) in values
             ]
-            values[f"{self.prefix}/{name}"] = float(np.mean(case_values))
+            values[f"{self.prefix}/{name}"] = float(np.mean(case_values_list))
         return values
 
     def log_name(self, case: str, metric: str) -> str:

@@ -25,23 +25,27 @@ from ..data.variables import Variable, channel_slices
 
 class SampleStore:
     def __init__(self, samples_file: Path, variables: Sequence[Variable]):
-        # HDF5 writes are single-writer: in multi-host runs only process 0
-        # writes (the reference hard-asserts non-distributed, metrics.py:
-        # 41-43; we allow multi-host and make non-primary ranks no-op, since
-        # every rank constructs the task and therefore the store).
+        # HDF5 writes are single-writer: in multi-host runs every rank writes
+        # its OWN file (rank 0 keeps the canonical name, rank r>0 appends a
+        # ``.rank<r>`` suffix) so distributed evaluation can shard cases over
+        # hosts without write coordination; metrics are merged host-side via
+        # an all-gather (the reference hard-asserts non-distributed,
+        # ``turbdiff/models/metrics.py:41-43``).
         import jax
 
-        self.is_writer = jax.process_count() <= 1 or jax.process_index() == 0
-        self.samples_file = Path(samples_file)
+        self.rank = jax.process_index() if jax.process_count() > 1 else 0
+        self.is_writer = True
+        samples_file = Path(samples_file)
+        if self.rank > 0:
+            samples_file = samples_file.with_name(
+                f"{samples_file.stem}.rank{self.rank}{samples_file.suffix}"
+            )
+        self.samples_file = samples_file
         self.variables = tuple(variables)
-        if self.is_writer:
-            self.samples_file.parent.mkdir(parents=True, exist_ok=True)
+        self.samples_file.parent.mkdir(parents=True, exist_ok=True)
 
     def add_samples(self, cells: np.ndarray, metadata: CaseMetadata):
-        """cells: (B, n_cells, F) stacked channel values at in-domain cells.
-        No-op on non-primary ranks in multi-host runs."""
-        if not self.is_writer:
-            return
+        """cells: (B, n_cells, F) stacked channel values at in-domain cells."""
         cells = np.asarray(cells)
         if cells.shape[1] > metadata.n_cells:
             # drop cell-bucket padding rows (zeros past the true cell count)
@@ -94,7 +98,7 @@ class SampleStore:
         return CaseData(metadata=metadata, t=np.zeros(n), fields=fields)
 
     def reset(self):
-        if not self.is_writer or not self.samples_file.is_file():
+        if not self.samples_file.is_file():
             return
         with h5py.File(self.samples_file, "a") as f:
             for case_name in f.keys():

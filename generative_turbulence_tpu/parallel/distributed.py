@@ -66,3 +66,38 @@ def is_main_process() -> bool:
     import jax
 
     return jax.process_index() == 0
+
+
+def allgather_objects(obj):
+    """All-gather a small JSON-serializable host object across processes.
+
+    Returns ``[obj_from_rank0, obj_from_rank1, ...]`` on every rank (a
+    single-process run returns ``[obj]``).  Payloads ride a padded uint8
+    device all-gather (two collectives: lengths, then buffers), so this works
+    on any backend without a shared filesystem — it is how distributed
+    evaluation merges per-case metric dicts (a capability the reference
+    forbids itself, ``turbdiff/models/metrics.py:41-43``).
+
+    Collective: EVERY rank must call this the same number of times.
+    """
+    import jax
+
+    if jax.process_count() <= 1:
+        return [obj]
+
+    import json
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(json.dumps(obj).encode("utf-8"), dtype=np.uint8)
+    lengths = np.asarray(
+        multihost_utils.process_allgather(np.asarray([payload.size], np.int32))
+    ).reshape(-1)
+    buf = np.zeros(int(lengths.max()), np.uint8)
+    buf[: payload.size] = payload
+    gathered = np.asarray(multihost_utils.process_allgather(buf))
+    return [
+        json.loads(bytes(gathered[rank, : int(n)]).decode("utf-8"))
+        for rank, n in enumerate(lengths)
+    ]

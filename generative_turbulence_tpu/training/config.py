@@ -167,6 +167,9 @@ class DataConfig:
     transfer_dtype: Optional[str] = None
     # multi-host runs: round-robin whole TRAIN cases across hosts
     shard_by_host: bool = False
+    # multi-host runs: also shard EVAL cases across hosts (per-rank sample
+    # stores + all-gathered metric merge; bit-identical to single-process)
+    shard_eval: bool = False
 
 
 @dataclasses.dataclass
@@ -309,10 +312,31 @@ def _parse_scalar(raw: str) -> Any:
     return value
 
 
+def _coerce_numeric_strings(value: Any) -> Any:
+    """Recursively apply ``_parse_scalar``'s numeric coercion to str leaves.
+
+    YAML 1.1 resolves dotless exponents ("1e-06") as strings, so a checkpoint
+    config round-tripped through ``yaml.safe_load`` would hand
+    ``min_learning_rate='1e-06'`` to the LR schedule (a measured crash).
+    """
+    if isinstance(value, dict):
+        return {k: _coerce_numeric_strings(v) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_coerce_numeric_strings(v) for v in value]
+    if isinstance(value, str):
+        return _parse_scalar(value)
+    return value
+
+
 def load_config(path: str, base: Optional[Config] = None) -> Config:
     """Load a config from a YAML/JSON file, merged over ``base``."""
     raw = Path(path).read_text()
-    d = yaml.safe_load(raw)
+    if str(path).endswith(".json"):
+        import json
+
+        d = json.loads(raw)
+    else:
+        d = _coerce_numeric_strings(yaml.safe_load(raw))
     cfg = (base or Config()).to_dict()
     for group, values in d.items():
         if group == "model" and "name" in values:

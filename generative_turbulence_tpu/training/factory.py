@@ -39,6 +39,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             prefetch_size=dc.prefetch_size,
             seed=tc.seed,
             shard_by_host=dc.shard_by_host,
+            shard_eval=dc.shard_eval,
             device_prefetch=dc.device_prefetch,
             cell_bucket=dc.cell_bucket,
             buffer_pool=dc.buffer_pool,

@@ -32,6 +32,20 @@ def _mean_over_batches(outputs) -> Dict[str, float]:
     return {k: float(np.mean(v)) for k, v in merged.items()}
 
 
+def eval_rng_for(base: jax.Array, case_name: str, batch_in_case: int) -> jax.Array:
+    """Per-eval-batch RNG keyed on the CASE identity, not enumeration order.
+
+    Folding in a stable case hash (instead of the loop index) makes the draw
+    invariant to how cases are sharded over hosts — a distributed validate
+    produces bit-identical samples to the single-process one, which is what
+    ``tests/test_distributed.py`` asserts end-to-end.
+    """
+    import zlib
+
+    key = zlib.crc32(case_name.encode("utf-8")) & 0x7FFFFFFF
+    return jax.random.fold_in(jax.random.fold_in(base, key), batch_in_case)
+
+
 def parse_duration(spec: Optional[str]) -> Optional[float]:
     """'24h' / '30m' / '90s' / '1d' -> seconds."""
     if spec is None:
@@ -179,9 +193,14 @@ class Trainer:
         base = rng if self.config.trainer.deterministic_eval else jax.random.fold_in(
             rng, 10_000 + epoch
         )
-        for i, batch in enumerate(self.dm.val_batches()):
-            eval_rng = jax.random.fold_in(base, 1_000_000 + i)
-            out = self.task.eval_step(state, batch, eval_rng, "val")
+        batch_in_case: Dict[str, int] = {}
+        for batch in self.dm.val_batches():
+            case = batch.metadata.case_name
+            k = batch_in_case.get(case, 0)
+            batch_in_case[case] = k + 1
+            out = self.task.eval_step(
+                state, batch, eval_rng_for(base, case, k), "val"
+            )
             if out:
                 step_outputs.append(out)
         metrics = self.task.on_eval_end(self.dm.stats, "val", expensive=expensive)
@@ -202,9 +221,15 @@ class Trainer:
         self.dm.setup("test")
         self.task.on_eval_start("test")
         step_outputs = []
-        for i, batch in enumerate(self.dm.test_batches()):
-            eval_rng = jax.random.fold_in(rng, 2_000_000 + i)
-            out = self.task.eval_step(state, batch, eval_rng, "test")
+        base = jax.random.fold_in(rng, 2_000_000)
+        batch_in_case: Dict[str, int] = {}
+        for batch in self.dm.test_batches():
+            case = batch.metadata.case_name
+            k = batch_in_case.get(case, 0)
+            batch_in_case[case] = k + 1
+            out = self.task.eval_step(
+                state, batch, eval_rng_for(base, case, k), "test"
+            )
             if out:
                 step_outputs.append(out)
         metrics = self.task.on_eval_end(self.dm.stats, "test", expensive=True)

@@ -90,7 +90,7 @@ def main(root: str, out_json: str) -> None:
         ]
     ).resolved()
     _, task = instantiate_data_and_task(cfg)
-    store_is_writer = bool(task.val_sample_store.is_writer)
+    store_file = task.val_sample_store.samples_file.name
 
     record = {
         "process_index": jax.process_index(),
@@ -100,7 +100,7 @@ def main(root: str, out_json: str) -> None:
         "n_total_files": len(files),
         "loss": float(loss),
         "checksum": float(checksum),
-        "store_is_writer": store_is_writer,
+        "store_file": store_file,
     }
     Path(out_json).write_text(json.dumps(record))
 

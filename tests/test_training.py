@@ -33,6 +33,29 @@ def test_config_presets_and_overrides():
     assert cfg3.model.hidden_dim == 32
 
 
+def test_load_config_file_numeric_strings(tmp_path):
+    """A checkpoint config.json (or YAML with dotless exponents) must load
+    floats as floats — YAML 1.1 resolves '1e-06' as a string, which crashed
+    the LR schedule when relaunching from ``config=<ckpt>/config.json``."""
+    from generative_turbulence_tpu.training.config import load_config
+
+    base = parse_cli_overrides(["model=diffusion", "data.root=/x"])
+    js = tmp_path / "config.json"
+    js.write_text(base.to_json())
+    cfg = load_config(str(js))
+    assert cfg.model.min_learning_rate == pytest.approx(1e-6)
+    assert isinstance(cfg.model.min_learning_rate, float)
+
+    ym = tmp_path / "config.yaml"
+    ym.write_text(
+        "model:\n  min_learning_rate: 1e-06\n  name: diffusion\n"
+        "trainer:\n  train_limit: 3.3h\ndata:\n  root: /x\n"
+    )
+    cfg = load_config(str(ym))
+    assert cfg.model.min_learning_rate == pytest.approx(1e-6)
+    assert cfg.trainer.train_limit == "3.3h"  # non-numeric strings untouched
+
+
 def test_parse_duration():
     assert parse_duration("24h") == 24 * 3600
     assert parse_duration("30m") == 1800
