@@ -156,12 +156,13 @@ class GeometryPureBatches:
         batch_size: int,
         shuffle: bool,
         seed: int = 0,
+        epoch: int = 0,
         pad_to_full: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
-        self.epoch = 0
+        self.epoch = epoch
         self.seed = seed
         self.pad_to_full = pad_to_full
 
@@ -621,9 +622,16 @@ class DataModule:
 
     # Batch iterators --------------------------------------------------------
 
-    def train_batches(self) -> Iterator[Batch]:
+    def train_batches(self, epoch: int = 0) -> Iterator[Batch]:
+        # The epoch seeds the shuffle (rng key = (seed, epoch)): each epoch
+        # draws a fresh batch order, and a resumed run passing the same global
+        # epoch replays the exact order of the run it resumes (soak protocol).
         sampler = GeometryPureBatches(
-            self.train_dataset, batch_size=self.batch_size, shuffle=True, seed=self.seed
+            self.train_dataset,
+            batch_size=self.batch_size,
+            shuffle=True,
+            seed=self.seed,
+            epoch=epoch,
         )
         return self._iterate(self.train_dataset, sampler, train=True)
 

@@ -164,9 +164,13 @@ class SequenceDataModule:
             discard_first_seconds=self.discard_first_seconds,
         )
 
-    def train_batches(self) -> Iterator[SequenceBatch]:
+    def train_batches(self, epoch: int = 0) -> Iterator[SequenceBatch]:
         sampler = GeometryPureBatches(
-            self.train_dataset, batch_size=self.batch_size, shuffle=True, seed=self.seed
+            self.train_dataset,
+            batch_size=self.batch_size,
+            shuffle=True,
+            seed=self.seed,
+            epoch=epoch,
         )
         return self._iterate(self.train_dataset, sampler)
 

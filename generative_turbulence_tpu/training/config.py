@@ -175,6 +175,12 @@ class DataConfig:
 @dataclasses.dataclass
 class TrainerConfig:
     max_epochs: Optional[int] = None  # defaults to model.max_epochs
+    # Global step cap, independent of max_epochs.  Unlike lowering
+    # max_epochs, stopping via max_steps does NOT change the LR-decay
+    # horizon (which is max_epochs * n_batches), so a run stopped at
+    # max_steps and resumed with the cap lifted replays the exact
+    # trajectory of an uninterrupted run (the soak kill/resume protocol).
+    max_steps: Optional[int] = None
     check_val_every_n_epoch: int = 100
     gradient_clip_val: float = 0.1
     log_every_n_steps: int = 5

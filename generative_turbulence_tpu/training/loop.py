@@ -112,11 +112,19 @@ class Trainer:
         profiling = False
         step_tic = time.perf_counter()
 
-        for epoch in range(tc.max_epochs):
+        # Epochs are GLOBAL: a resumed run starts at the epoch implied by the
+        # restored step counter, so it replays the same per-epoch shuffle
+        # order and validation cadence an unkilled run would have had, and
+        # max_epochs bounds the TOTAL training length across restarts (the
+        # reference's Lightning resume semantics, train.py:174-198).
+        n_batches = max(1, self.dm.n_train_batches())
+        start_epoch = step // n_batches
+
+        for epoch in range(start_epoch, tc.max_epochs):
             if stop:
                 break
             epoch_losses = []
-            for batch in self.dm.train_batches():
+            for batch in self.dm.train_batches(epoch):
                 if tc.profile_steps > 0 and step == tc.profile_start and not profiling:
                     jax.profiler.start_trace(str(self.out_dir / "profile"))
                     profiling = True
@@ -141,6 +149,10 @@ class Trainer:
                     self.logger.log(metrics, step=step, epoch=epoch)
                 if self.time_limit is not None and time.time() - start > self.time_limit:
                     self.logger.console("train limit reached; running final validation")
+                    stop = True
+                    break
+                if tc.max_steps is not None and step >= tc.max_steps:
+                    self.logger.console(f"max_steps={tc.max_steps} reached")
                     stop = True
                     break
 

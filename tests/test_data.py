@@ -160,6 +160,15 @@ def test_samplers_never_mix_geometries(synthetic_root):
         seen.extend(batch)
     assert sorted(seen) == list(range(len(ds)))
 
+    # the epoch seeds the shuffle: successive epochs draw fresh orders, and
+    # the same (seed, epoch) pair always replays the same order (resume)
+    orders = [
+        [tuple(b) for b in GeometryPureBatches(ds, batch_size=4, shuffle=True, seed=1, epoch=e)]
+        for e in (0, 1, 0)
+    ]
+    assert orders[0] != orders[1]
+    assert orders[0] == orders[2]
+
     eval_sampler = EvaluationBatches(ds, batch_size=3, samples_per_file=5)
     batches = list(eval_sampler)
     assert len(batches) == len(eval_sampler)
