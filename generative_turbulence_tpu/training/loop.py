@@ -206,16 +206,22 @@ class Trainer:
             rng, 10_000 + epoch
         )
         batch_in_case: Dict[str, int] = {}
+        diagnostics: Dict[str, float] = {}
         for batch in self.dm.val_batches():
             case = batch.metadata.case_name
             k = batch_in_case.get(case, 0)
             batch_in_case[case] = k + 1
+            if not diagnostics and hasattr(self.task, "eval_diagnostics"):
+                diagnostics = self.task.eval_diagnostics(
+                    state, batch, jax.random.fold_in(base, 777)
+                )
             out = self.task.eval_step(
                 state, batch, eval_rng_for(base, case, k), "val"
             )
             if out:
                 step_outputs.append(out)
         metrics = self.task.on_eval_end(self.dm.stats, "val", expensive=expensive)
+        metrics.update(diagnostics)
         metrics.update(_mean_over_batches(step_outputs))
         self.logger.log(metrics, step=int(state.step), epoch=epoch)
         if self.config.trainer.render_plots and hasattr(self.task, "render_plots"):
