@@ -181,6 +181,12 @@ class TrainerConfig:
     # max_steps and resumed with the cap lifted replays the exact
     # trajectory of an uninterrupted run (the soak kill/resume protocol).
     max_steps: Optional[int] = None
+    # Point-cloud Wasserstein backend for IN-TRAINING expensive validations.
+    # "sinkhorn" (calibrated on-device, minutes) by default: the exact host
+    # EMD takes hours at shapes scale on a small host and once silently ate
+    # a run's final validation window; use scripts/eval_ckpt.py for offline
+    # exact-EMD evaluation.
+    wasserstein_solver: str = "sinkhorn"
     check_val_every_n_epoch: int = 100
     gradient_clip_val: float = 0.1
     log_every_n_steps: int = 5

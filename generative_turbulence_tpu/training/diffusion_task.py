@@ -49,6 +49,7 @@ class DiffusionTask:
         max_train_steps: int = 1,
         gradient_clip_val: float = 0.1,
         mesh=None,
+        wasserstein_solver: str = "sinkhorn",
     ):
         """``data_root`` is the dataset root containing the val/ and test/
         split directories (each metric collection reads the ground truth of
@@ -117,10 +118,14 @@ class DiffusionTask:
         )
         data_root = Path(data_root)
         self.val_metrics = SampleMetricsCollection(
-            "val", data_root / "val", SampleMetricsCollection.default_metrics()
+            "val",
+            data_root / "val",
+            SampleMetricsCollection.default_metrics(wasserstein_solver),
         )
         self.test_metrics = SampleMetricsCollection(
-            "test", data_root / "test", SampleMetricsCollection.default_metrics()
+            "test",
+            data_root / "test",
+            SampleMetricsCollection.default_metrics(wasserstein_solver),
         )
 
     # ---- state -------------------------------------------------------------

@@ -60,6 +60,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             max_train_steps=max_train_steps,
             gradient_clip_val=tc.gradient_clip_val,
             mesh=mesh,
+            wasserstein_solver=tc.wasserstein_solver,
         )
         return dm, task
 
@@ -94,6 +95,7 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             max_train_steps=max_train_steps,
             gradient_clip_val=tc.gradient_clip_val,
             mesh=mesh,
+            wasserstein_solver=tc.wasserstein_solver,
         )
         return dm, task
 

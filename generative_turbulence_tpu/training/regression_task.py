@@ -53,6 +53,7 @@ class RegressionTaskBase:
         max_train_steps: int = 1,
         gradient_clip_val: float = 0.1,
         mesh=None,
+        wasserstein_solver: str = "sinkhorn",
     ):
         self.cfg = cfg
         self.mesh = mesh
@@ -103,7 +104,9 @@ class RegressionTaskBase:
         data_root = Path(data_root)
         self.val_metrics = {
             s: SampleMetricsCollection(
-                f"val/{s}", data_root / "val", SampleMetricsCollection.default_metrics()
+                f"val/{s}",
+                data_root / "val",
+                SampleMetricsCollection.default_metrics(wasserstein_solver),
             )
             for s in self.sample_steps
         }
@@ -111,7 +114,7 @@ class RegressionTaskBase:
             s: SampleMetricsCollection(
                 f"test/{s}",
                 data_root / "test",
-                SampleMetricsCollection.default_metrics(),
+                SampleMetricsCollection.default_metrics(wasserstein_solver),
             )
             for s in self.sample_steps
         }
