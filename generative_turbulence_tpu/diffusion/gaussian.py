@@ -129,6 +129,11 @@ class GaussianDiffusion:
     # "epsilon" (reference behavior) or "v" (Salimans & Ho progressive
     # distillation parameterization; an addition over the reference)
     parameterization: str = "epsilon"
+    # Optional per-timestep loss weighting (addition over the reference's
+    # uniform eps-loss): "min-snr-<gamma>" (Hang et al. 2023) balances the
+    # effective x0-space weight across noise levels — w = min(SNR, g)/SNR
+    # for eps-prediction, min(SNR, g)/(SNR + 1) for v-prediction.
+    loss_weighting: Optional[str] = None
 
     @staticmethod
     def create(
@@ -142,6 +147,7 @@ class GaussianDiffusion:
         elbo_weight: Optional[float] = None,
         detach_elbo_mean: bool = True,
         parameterization: str = "epsilon",
+        loss_weighting: Optional[str] = None,
     ) -> "GaussianDiffusion":
         assert parameterization in ("epsilon", "v")
         return GaussianDiffusion(
@@ -153,6 +159,7 @@ class GaussianDiffusion:
             elbo_weight=elbo_weight,
             detach_elbo_mean=detach_elbo_mean,
             parameterization=parameterization,
+            loss_weighting=loss_weighting,
         )
 
     @property
@@ -288,6 +295,14 @@ class GaussianDiffusion:
         # normalizes by the TRUE cell count as a traced scalar so bucketed
         # cases share one compiled program.
         per_sample = masked_mean(err, grid)
+        if self.loss_weighting is not None:
+            if not self.loss_weighting.startswith("min-snr-"):
+                raise ValueError(f"Unknown loss weighting {self.loss_weighting!r}")
+            gamma = float(self.loss_weighting[len("min-snr-"):])
+            acp = self.constants.alphas_cumprod[t]
+            snr = acp / (1.0 - acp)
+            denom = snr + 1.0 if self.parameterization == "v" else snr
+            per_sample = per_sample * (jnp.minimum(snr, gamma) / denom)
         loss = per_sample.mean()
 
         if self.elbo_weight is not None and self.learned_variances:

@@ -51,6 +51,8 @@ class ModelConfig:
     timesteps: int = 500
     loss: str = "l2"
     parameterization: str = "epsilon"  # or "v"
+    # per-timestep loss weighting: None (reference) or "min-snr-<gamma>"
+    loss_weighting: Optional[str] = None
     learned_variances: bool = False
     elbo_weight: Optional[float] = 0.1
     detach_elbo_mean: bool = True

@@ -99,6 +99,7 @@ class DiffusionTask:
             elbo_weight=cfg.elbo_weight if cfg.learned_variances else None,
             detach_elbo_mean=cfg.detach_elbo_mean,
             parameterization=cfg.parameterization,
+            loss_weighting=cfg.loss_weighting,
         )
         self.tx = build_optimizer(
             optimizer=cfg.optimizer,

@@ -41,6 +41,12 @@ def build_optimizer(
 ) -> optax.GradientTransformation:
     if lr_decay == "exp":
         lr = exp_decay_schedule(learning_rate, min_learning_rate, max(1, max_train_steps))
+    elif lr_decay == "cosine":
+        lr = optax.cosine_decay_schedule(
+            learning_rate,
+            max(1, max_train_steps),
+            alpha=min_learning_rate / learning_rate,
+        )
     elif lr_decay is None:
         lr = learning_rate
     else:

@@ -224,3 +224,37 @@ class TestLoss:
 
         g = jax.grad(loss_of_scale)(0.5)
         assert np.isfinite(float(g)) and abs(float(g)) > 0
+
+
+class TestLossWeighting:
+    def test_min_snr_matches_manual_factor(self, small_grid):
+        import jax.numpy as jnp
+
+        base = GaussianDiffusion.create(beta_schedule="log-snr-linear", timesteps=20)
+        weighted = GaussianDiffusion.create(
+            beta_schedule="log-snr-linear", timesteps=20, loss_weighting="min-snr-5"
+        )
+        x0 = embed_cells(
+            jnp.ones((2, small_grid.n_cells, 4)) * 0.3, small_grid
+        )
+        eps_fn = lambda x_t, t: jnp.zeros_like(x_t)  # noqa: E731
+        rng = jax.random.PRNGKey(0)
+        for t_val in (0, 10, 19):
+            t = jnp.full((2,), t_val, dtype=jnp.int32)
+            l0 = float(base.p_losses(eps_fn, x0, t, small_grid, rng))
+            lw = float(weighted.p_losses(eps_fn, x0, t, small_grid, rng))
+            acp = float(base.constants.alphas_cumprod[t_val])
+            snr = acp / (1 - acp)
+            expected = min(snr, 5.0) / snr
+            assert abs(lw - l0 * expected) < 1e-5 * max(1.0, l0)
+
+    def test_unknown_weighting_raises(self, small_grid):
+        import jax.numpy as jnp
+        import pytest
+
+        gd = GaussianDiffusion.create(
+            beta_schedule="log-snr-linear", timesteps=8, loss_weighting="bogus"
+        )
+        x0 = embed_cells(jnp.ones((1, small_grid.n_cells, 4)), small_grid)
+        with pytest.raises(ValueError):
+            gd.loss(lambda x, t: jnp.zeros_like(x), x0, small_grid, jax.random.PRNGKey(0))
