@@ -263,6 +263,22 @@ class FieldStats:
         std = np.where(std >= 1e-8, std, 1.0).astype(np.float32)
         return mean, std
 
+    def envelope(
+        self, variables: Sequence["Variable"]
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Channelwise training-set (min, max) envelope, physical units."""
+        F = total_dims(variables)
+        lo = np.empty(F, dtype=np.float32)
+        hi = np.empty(F, dtype=np.float32)
+        start = 0
+        for v in variables:
+            sl = slice(start, start + v.dims)
+            s = self.stats[v.key]
+            lo[sl] = np.broadcast_to(s["min"], (v.dims,))
+            hi[sl] = np.broadcast_to(s["max"], (v.dims,))
+            start += v.dims
+        return lo, hi
+
     @staticmethod
     def from_file(file: Path) -> "FieldStats":
         raw = pickle.loads(Path(file).read_bytes())

@@ -134,6 +134,11 @@ class GaussianDiffusion:
     # effective x0-space weight across noise levels — w = min(SNR, g)/SNR
     # for eps-prediction, min(SNR, g)/(SNR + 1) for v-prediction.
     loss_weighting: Optional[str] = None
+    # clip_denoised bounds in NORMALIZED space: None = the reference's
+    # [-1, 1]; otherwise per-channel (lo, hi) of shape (F,) — the training
+    # set's normalized envelope, so normalizations that don't map data into
+    # [-1, 1] (e.g. mean-std) clip to the data range instead of into it.
+    clip_bounds: Optional[tuple] = None
 
     @staticmethod
     def create(
@@ -228,11 +233,16 @@ class GaussianDiffusion:
         t: jnp.ndarray,
         grid: GridMap,
         inside: Optional[jnp.ndarray] = None,
+        clip_bounds: Optional[tuple] = None,
     ) -> ModelPrediction:
         """``inside`` overrides the dense in-domain mask (the flat-state
-        sampler passes a flattened one broadcastable against its state)."""
+        sampler passes a flattened one broadcastable against its state);
+        ``clip_bounds`` likewise overrides the dense per-channel clip
+        envelope with a layout-matched one."""
         if inside is None:
             inside = grid.inside_mask[..., None]
+        if clip_bounds is None:
+            clip_bounds = self.clip_bounds  # (F,) broadcasts over dense x
         c = self.constants
         out = eps_fn(x_t, t)
         if self.learned_variances:
@@ -257,7 +267,15 @@ class GaussianDiffusion:
             # Pin the prediction to the (clean) BC values carried by x_t.
             x_start = jnp.where(inside, x_start, x_t)
         if self.clip_denoised:
-            x_start = jnp.clip(x_start, -1.0, 1.0)
+            if clip_bounds is not None:
+                lo, hi = clip_bounds
+                x_start = jnp.clip(
+                    x_start,
+                    jnp.asarray(lo, x_start.dtype),
+                    jnp.asarray(hi, x_start.dtype),
+                )
+            else:
+                x_start = jnp.clip(x_start, -1.0, 1.0)
 
         mean, _ = self.q_posterior(x_start, x_t, t)
         return ModelPrediction(pred_noise, x_start, mean, log_var, raw)
@@ -354,7 +372,14 @@ class GaussianDiffusion:
         inside_flat = jnp.broadcast_to(
             grid.inside_mask[..., None], shape[1:]
         ).reshape(-1)
-        return flat_eps, x_bcs.reshape(B, -1), inside_flat
+        bounds_flat = None
+        if self.clip_denoised and self.clip_bounds is not None:
+            lo, hi = self.clip_bounds
+            bounds_flat = (
+                jnp.broadcast_to(jnp.asarray(lo), shape[1:]).reshape(-1),
+                jnp.broadcast_to(jnp.asarray(hi), shape[1:]).reshape(-1),
+            )
+        return flat_eps, x_bcs.reshape(B, -1), inside_flat, bounds_flat
 
     def p_sample_loop(
         self,
@@ -374,7 +399,7 @@ class GaussianDiffusion:
         out_shape = x_bcs.shape
         B = out_shape[0]
         T = self.num_timesteps if start_from is None else int(start_from)
-        eps_fn, x_bcs, inside = self._flat_sampler_views(eps_fn, x_bcs, grid)
+        eps_fn, x_bcs, inside, bounds = self._flat_sampler_views(eps_fn, x_bcs, grid)
 
         rng_init, rng_scan = jax.random.split(rng)
         if start_from is None:
@@ -389,20 +414,22 @@ class GaussianDiffusion:
 
         ts = jnp.arange(T - 1, -1, -1)
         rngs = jax.random.split(rng_scan, T)
-        step = self._p_step(eps_fn, x_bcs, inside, grid, B)
+        step = self._p_step(eps_fn, x_bcs, inside, grid, B, bounds)
         x_t, _ = jax.lax.scan(step, x_t, (ts, rngs))
 
         # Impose the exact BC values regardless of the noising mode.
         return jnp.where(inside, x_t, x_bcs).reshape(out_shape)
 
-    def _p_step(self, eps_fn, x_bcs: jnp.ndarray, inside: jnp.ndarray, grid: GridMap, B: int):
+    def _p_step(self, eps_fn, x_bcs: jnp.ndarray, inside: jnp.ndarray, grid: GridMap, B: int, bounds=None):
         """One ancestral step over the flat state (shared by the single-scan
         and chunked samplers)."""
 
         def step(x_t, scan_in):
             t_scalar, rng_t = scan_in
             t = jnp.full((B,), t_scalar, dtype=jnp.int32)
-            pred = self.model_predictions(eps_fn, x_t, t, grid, inside=inside)
+            pred = self.model_predictions(
+                eps_fn, x_t, t, grid, inside=inside, clip_bounds=bounds
+            )
 
             rng_noise, rng_bc = jax.random.split(rng_t)
             noise = jax.random.normal(rng_noise, x_t.shape, dtype=x_t.dtype)
@@ -428,7 +455,7 @@ class GaussianDiffusion:
     ) -> jnp.ndarray:
         """Initial x_T (dense) for chunked ancestral sampling; matches the
         init of :meth:`p_sample_loop` exactly for the same rng."""
-        _, x_bcs_f, inside = self._flat_sampler_views(lambda x, t: x, x_bcs, grid)
+        _, x_bcs_f, inside, _ = self._flat_sampler_views(lambda x, t: x, x_bcs, grid)
         x_t = jax.random.normal(rng, x_bcs_f.shape, dtype=x_bcs_f.dtype)
         if not self.noise_bcs:
             x_t = jnp.where(inside, x_t, x_bcs_f)
@@ -459,11 +486,11 @@ class GaussianDiffusion:
         """
         span = rngs.shape[0]
         out_shape = x_bcs.shape
-        eps_fn, x_bcs_f, inside = self._flat_sampler_views(eps_fn, x_bcs, grid)
+        eps_fn, x_bcs_f, inside, bounds = self._flat_sampler_views(eps_fn, x_bcs, grid)
         B = out_shape[0]
         x_flat = x_t.reshape(x_bcs_f.shape)
         ts = t_hi - 1 - jnp.arange(span)
-        step = self._p_step(eps_fn, x_bcs_f, inside, grid, B)
+        step = self._p_step(eps_fn, x_bcs_f, inside, grid, B, bounds)
         x_flat, _ = jax.lax.scan(step, x_flat, (ts, rngs))
         x_flat = jnp.where(
             t_hi - span <= 0, jnp.where(inside, x_flat, x_bcs_f), x_flat
@@ -492,7 +519,7 @@ class GaussianDiffusion:
         out_shape = x_bcs.shape
         B = out_shape[0]
         T = self.num_timesteps
-        eps_fn, x_bcs, inside = self._flat_sampler_views(eps_fn, x_bcs, grid)
+        eps_fn, x_bcs, inside, bounds = self._flat_sampler_views(eps_fn, x_bcs, grid)
 
         taus = np.linspace(0, T - 1, num_steps).round().astype(np.int32)
         taus_prev = np.concatenate([[-1], taus[:-1]]).astype(np.int32)
@@ -507,7 +534,9 @@ class GaussianDiffusion:
         def step(x_t, scan_in):
             tau, tau_prev, rng_t = scan_in
             t = jnp.full((B,), tau, dtype=jnp.int32)
-            pred = self.model_predictions(eps_fn, x_t, t, grid, inside=inside)
+            pred = self.model_predictions(
+                eps_fn, x_t, t, grid, inside=inside, clip_bounds=bounds
+            )
             x0 = pred.x_start
             # Re-derive the noise consistent with the (possibly clipped/pinned)
             # x0 so the update stays on the DDIM trajectory.

@@ -53,6 +53,10 @@ class ModelConfig:
     parameterization: str = "epsilon"  # or "v"
     # per-timestep loss weighting: None (reference) or "min-snr-<gamma>"
     loss_weighting: Optional[str] = None
+    # clip_denoised bounds: "unit" = the reference's [-1, 1]; "envelope" =
+    # the training set's per-channel normalized min/max (required for
+    # normalizations like mean-std that don't map data into [-1, 1])
+    clip_mode: str = "unit"
     learned_variances: bool = False
     elbo_weight: Optional[float] = 0.1
     detach_elbo_mean: bool = True

@@ -101,6 +101,19 @@ class DiffusionTask:
             parameterization=cfg.parameterization,
             loss_weighting=cfg.loss_weighting,
         )
+        if cfg.clip_denoised and cfg.clip_mode == "envelope":
+            import dataclasses as _dc
+
+            lo, hi = stats.envelope(self.variables)
+            self.diffusion = _dc.replace(
+                self.diffusion,
+                clip_bounds=(
+                    self.normalizer.normalize(lo.astype(np.float32)),
+                    self.normalizer.normalize(hi.astype(np.float32)),
+                ),
+            )
+        elif cfg.clip_mode not in ("unit", "envelope"):
+            raise ValueError(f"Unknown clip_mode {cfg.clip_mode!r}")
         self.tx = build_optimizer(
             optimizer=cfg.optimizer,
             learning_rate=cfg.learning_rate,

@@ -258,3 +258,34 @@ class TestLossWeighting:
         x0 = embed_cells(jnp.ones((1, small_grid.n_cells, 4)), small_grid)
         with pytest.raises(ValueError):
             gd.loss(lambda x, t: jnp.zeros_like(x), x0, small_grid, jax.random.PRNGKey(0))
+
+
+class TestClipBounds:
+    def test_envelope_clip_bounds_respected(self, small_grid):
+        """x0 estimates clip to per-channel bounds (not [-1,1]) through every
+        sampler path (dense-loss, DDPM scan, DDIM scan)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        lo = np.array([-4.0, -4.0, -4.0, -4.0], np.float32)
+        hi = np.array([6.0, 6.0, 6.0, 6.0], np.float32)
+        gd = GaussianDiffusion.create(
+            beta_schedule="log-snr-linear", timesteps=8, clip_denoised=True
+        )
+        import dataclasses as dc
+
+        gd = dc.replace(gd, clip_bounds=(jnp.asarray(lo), jnp.asarray(hi)))
+        # an eps-net that predicts huge negative noise -> x0 explodes upward
+        eps_fn = lambda x_t, t: -50.0 * jnp.ones_like(x_t)  # noqa: E731
+        x_bcs = embed_cells(jnp.ones((1, small_grid.n_cells, 4)) * 2.0, small_grid)
+        rng = jax.random.PRNGKey(0)
+        for sample in (
+            lambda: gd.p_sample_loop(eps_fn, x_bcs, small_grid, rng),
+            lambda: gd.ddim_sample_loop(eps_fn, x_bcs, small_grid, rng, num_steps=4),
+        ):
+            x = np.asarray(sample())
+            inside = np.asarray(small_grid.inside_mask)
+            assert x[:, inside].max() <= hi.max() + 1e-4
+            # without per-channel bounds the unit clip would cap at 1.0;
+            # the envelope clip must allow values above 1
+            assert x[:, inside].max() > 1.5
