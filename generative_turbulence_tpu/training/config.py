@@ -99,6 +99,12 @@ class ModelConfig:
 
     # numerics
     compute_dtype: str = "float32"  # or "bfloat16"
+    # compute dtype for SAMPLING/eval only (None = compute_dtype).  bf16
+    # training with float32 in-run validation sampling: the 500-step chain
+    # amplifies bf16 rounding, and the sampler-config sweep measured f32(+
+    # clip) samplers scoring consistently better on val/tke at the same
+    # checkpoint (docs/runs/overfit-4case-r4/summary.json sampler_sweep).
+    eval_compute_dtype: Optional[str] = None
     # gradient accumulation: optimizer updates every k micro-batches; the
     # factory divides the data batch size by k so the effective batch (and LR
     # schedule) is unchanged.  The OOM remedy for big grids on small chips.

@@ -64,31 +64,44 @@ class DiffusionTask:
         self.monitor = cfg.monitor
 
         dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
-        conditioning = None
-        if cfg.cell_type_features or cfg.cell_pos_features:
-            conditioning = Conditioning(
-                cell_type_features=cfg.cell_type_features,
-                cell_type_embedding=cfg.cell_type_embedding_type,
-                cell_type_embedding_dim=cfg.cell_type_embedding_dim,
-                cell_pos_features=cfg.cell_pos_features,
-                dtype=dtype,
-            )
 
         n_features = total_dims(self.variables)
-        self.net = DenoisingModel(
-            out_features=n_features * (2 if cfg.learned_variances else 1),
-            timesteps=cfg.timesteps,
-            dim=cfg.dim,
-            u_net_levels=cfg.u_net_levels,
-            actfn_name=cfg.actfn,
-            norm_type=cfg.norm_type,
-            time_embedding=cfg.time_embedding,
-            attention_kind=cfg.attention_kind,
-            with_geometry_embedding=cfg.with_geometry_embedding,
-            remat=cfg.remat,
-            conditioning=conditioning,
-            dtype=dtype,
+
+        def build_net(net_dtype):
+            conditioning = None
+            if cfg.cell_type_features or cfg.cell_pos_features:
+                conditioning = Conditioning(
+                    cell_type_features=cfg.cell_type_features,
+                    cell_type_embedding=cfg.cell_type_embedding_type,
+                    cell_type_embedding_dim=cfg.cell_type_embedding_dim,
+                    cell_pos_features=cfg.cell_pos_features,
+                    dtype=net_dtype,
+                )
+            return DenoisingModel(
+                out_features=n_features * (2 if cfg.learned_variances else 1),
+                timesteps=cfg.timesteps,
+                dim=cfg.dim,
+                u_net_levels=cfg.u_net_levels,
+                actfn_name=cfg.actfn,
+                norm_type=cfg.norm_type,
+                time_embedding=cfg.time_embedding,
+                attention_kind=cfg.attention_kind,
+                with_geometry_embedding=cfg.with_geometry_embedding,
+                remat=cfg.remat,
+                conditioning=conditioning,
+                dtype=net_dtype,
+            )
+
+        self.net = build_net(dtype)
+        # Sampling can run at a different compute dtype than training: params
+        # are stored float32 (flax param_dtype default), so the same pytree
+        # applies through either module (dtype only casts activations).
+        eval_dtype = (
+            dtype
+            if cfg.eval_compute_dtype is None
+            else (jnp.bfloat16 if cfg.eval_compute_dtype == "bfloat16" else None)
         )
+        self.eval_net = self.net if eval_dtype == dtype else build_net(eval_dtype)
         self.diffusion = GaussianDiffusion.create(
             beta_schedule=cfg.beta_schedule,
             timesteps=cfg.timesteps,
@@ -177,9 +190,11 @@ class DiffusionTask:
             dense = constrain_dense(self.mesh, dense)
         return self.normalizer.normalize(dense)
 
-    def _eps_fn(self, params, grid: GridMap):
+    def _eps_fn(self, params, grid: GridMap, net=None):
+        net = self.net if net is None else net
+
         def eps_fn(x_t, t):
-            return self.net.apply(params, x_t, t, grid.cell_types)
+            return net.apply(params, x_t, t, grid.cell_types)
 
         return eps_fn
 
@@ -288,7 +303,7 @@ class DiffusionTask:
         @jax.jit
         def sample(params, cells: jnp.ndarray, grid: GridMap, rng: jax.Array):
             x_bcs = self._model_input(cells, grid)
-            eps_fn = self._eps_fn(params, grid)
+            eps_fn = self._eps_fn(params, grid, self.eval_net)
             if self.cfg.sampler == "ddim":
                 x = self.diffusion.ddim_sample_loop(
                     eps_fn,
@@ -325,7 +340,7 @@ class DiffusionTask:
         @jax.jit
         def span(params, x_t, cells, grid, t_hi, rngs):
             x_bcs = self._model_input(cells, grid)
-            eps_fn = self._eps_fn(params, grid)
+            eps_fn = self._eps_fn(params, grid, self.eval_net)
             return self.diffusion.p_sample_span(eps_fn, x_t, x_bcs, grid, t_hi, rngs)
 
         @jax.jit

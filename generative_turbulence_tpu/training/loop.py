@@ -156,10 +156,17 @@ class Trainer:
                     stop = True
                     break
 
-            mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
-            self.logger.console(
-                f"epoch {epoch}: train/loss={mean_loss:.5f} ({step} steps)"
-            )
+            if epoch_losses:
+                self._last_epoch_loss = float(np.mean(epoch_losses))
+                loss_str = f"{self._last_epoch_loss:.5f}"
+            elif getattr(self, "_last_epoch_loss", None) is not None:
+                # No step hit the log boundary this epoch (short epochs vs
+                # log_every_n_steps); show the last fetched value instead of
+                # a misleading nan.
+                loss_str = f"~{self._last_epoch_loss:.5f}"
+            else:
+                loss_str = "(pending first log step)"
+            self.logger.console(f"epoch {epoch}: train/loss={loss_str} ({step} steps)")
 
             final_epoch = stop or epoch == tc.max_epochs - 1
             if final_epoch or (epoch + 1) % tc.check_val_every_n_epoch == 0:

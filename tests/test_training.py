@@ -110,6 +110,48 @@ def test_task_chunked_ddpm_matches_single_scan(tiny_config):
     np.testing.assert_array_equal(chunked, full)
 
 
+def test_eval_compute_dtype_f32_sampling_in_bf16_run(tiny_config):
+    """model.eval_compute_dtype=float32 must sample through a float32 module
+    while training stays bf16: the f32 sample equals the all-f32 task's
+    sample bit-for-bit (params are f32 either way) and differs from the
+    bf16 sampler's output."""
+    import dataclasses
+
+    import jax
+
+    from generative_turbulence_tpu.training.factory import instantiate_data_and_task
+
+    cfg = tiny_config
+    cfg.model = dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16", eval_compute_dtype="float32"
+    )
+    dm, task = instantiate_data_and_task(cfg)
+    assert task.eval_net is not task.net
+    batch = next(iter(dm.val_batches()))
+    state = task.init_state(jax.random.PRNGKey(0), batch)
+    rng = jax.random.PRNGKey(5)
+    mixed = task.sample(state, batch, rng)
+
+    cfg.model = dataclasses.replace(
+        cfg.model, compute_dtype="float32", eval_compute_dtype=None
+    )
+    _, task_f32 = instantiate_data_and_task(cfg)
+    assert task_f32.eval_net is task_f32.net
+    state_f32 = task_f32.init_state(jax.random.PRNGKey(0), batch)
+    np.testing.assert_array_equal(task_f32.sample(state_f32, batch, rng), mixed)
+
+    cfg.model = dataclasses.replace(
+        cfg.model, compute_dtype="bfloat16", eval_compute_dtype=None
+    )
+    _, task_bf16 = instantiate_data_and_task(cfg)
+    state_bf16 = task_bf16.init_state(jax.random.PRNGKey(0), batch)
+    assert not np.array_equal(task_bf16.sample(state_bf16, batch, rng), mixed)
+
+    # the training step still runs in bf16 with the mixed task
+    state2, metrics = task.training_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["train/loss"]))
+
+
 @pytest.mark.slow
 
 
