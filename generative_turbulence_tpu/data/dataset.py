@@ -112,6 +112,14 @@ class CaseDataset:
             i += len(steps)
         return out
 
+    def cache_steps(self, file_idx: int) -> np.ndarray:
+        """Frame indices DeviceFrameCache makes resident for this case.
+
+        For plain frame datasets these are the valid steps; sequence datasets
+        extend past the last window START to cover every frame a window can
+        reach (see SequenceDataset.cache_steps)."""
+        return np.asarray(self.valid_steps[file_idx])
+
     def __len__(self) -> int:
         return sum(len(v) for v in self.valid_steps)
 
@@ -428,7 +436,7 @@ class DeviceFrameCache:
         import jax
         import jax.numpy as jnp
 
-        steps = np.asarray(dataset.valid_steps[file_idx], dtype=np.int64)
+        steps = np.asarray(dataset.cache_steps(file_idx), dtype=np.int64)
         T = int(steps.size)
         F = total_dims(variables)
         with dataset.repo.open(file_idx) as f:

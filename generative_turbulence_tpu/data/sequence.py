@@ -17,6 +17,7 @@ from .dataset import (
     Batch,
     CaseData,
     CaseDataset,
+    DeviceFrameCache,
     EvaluationBatches,
     GeometryPureBatches,
     prefetch,
@@ -62,6 +63,15 @@ class SequenceDataset(CaseDataset):
                 raise ValueError("Sequence windows require consecutive frames")
             self.valid_steps.append(idxs)
 
+    def cache_steps(self, file_idx: int) -> np.ndarray:
+        """Resident frames must cover every frame any window can touch: from
+        the first window start through the last start + (T-1)*stride."""
+        starts = self.valid_steps[file_idx]
+        if len(starts) == 0:
+            return np.asarray(starts)
+        last = starts[-1] + (self.sequence_length - 1) * self.stride
+        return np.arange(starts[0], last + 1)
+
     def __getitem__(self, index) -> CaseData:
         if isinstance(index, (int, np.integer)):
             index = [index]
@@ -106,6 +116,56 @@ def collate_sequence(
     )
 
 
+class SequenceDeviceCache(DeviceFrameCache):
+    """Device-resident frames serving (B, T, n_cells, F) windows.
+
+    Same residency model as DeviceFrameCache (whole cases uploaded once in
+    bfloat16, bucket-padded), but a batch item is a window gather
+    ``dev[start + arange(T) * stride]`` instead of a single frame.  A 10-frame
+    TF-Net batch is ~420 MB of cell data — streaming it over this container's
+    ~10 MB/s device link would cost 40x the device step.
+    """
+
+    def batch(
+        self,
+        dataset: "SequenceDataset",
+        index: Sequence[int],
+        stats: FieldStats,
+        variables: Tuple[Variable, ...],
+        cell_bucket: int,
+        pool=None,
+    ) -> Optional[SequenceBatch]:
+        import jax.numpy as jnp
+
+        file_idx, local = dataset.locate(np.asarray(index))
+        dev = self._frames.get(file_idx)
+        if dev is None:
+            if self.full:
+                return None
+            dev = self._upload(dataset, file_idx, cell_bucket, variables, pool)
+            if dev is None:
+                return None
+        T, s = dataset.sequence_length, dataset.stride
+        # Window starts are consecutive valid frames (asserted in
+        # reset_caches), so local position i is resident row i.  Sampler
+        # order is preserved (the host path's read_frames restores it too).
+        starts = np.asarray(local, dtype=np.int32)
+        idx2d = starts[:, None] + np.arange(T, dtype=np.int32)[None, :] * s
+        cells = dev[jnp.asarray(idx2d)]  # (B, T, nb, F) on-device gather
+        frame0 = int(dataset.valid_steps[file_idx][0])
+        times = dataset.repo.times[file_idx]
+        t = times[np.asarray(frame0 + idx2d)]
+        meta = dataset.repo.read_metadata(file_idx)
+        return SequenceBatch(
+            cells=cells,
+            t=np.asarray(t),
+            grid=GridMap.from_metadata(meta, variables, bucket=cell_bucket),
+            metadata=meta,
+            stats=stats,
+            variables=variables,
+        )
+
+
 class SequenceDataModule:
     def __init__(
         self,
@@ -122,6 +182,8 @@ class SequenceDataModule:
         prefetch_size: int = 2,
         cell_bucket: int = 16384,
         seed: int = 0,
+        device_cache_gb: float = 0.0,
+        eval_device_cache_gb: float = 0.0,
     ):
         self.root = Path(root)
         self.discard_first_seconds = discard_first_seconds
@@ -136,6 +198,27 @@ class SequenceDataModule:
         self.prefetch_size = prefetch_size
         self.cell_bucket = cell_bucket
         self.seed = seed
+        # Separate cache instances per split: the frame-index keys would
+        # collide across datasets.  Training frames quantize to bfloat16 (the
+        # compute dtype); caching EVAL windows also stores the rollout
+        # CONTEXT/targets in bfloat16 — val/loss targets quantize slightly,
+        # but the metric ground truth (SampleMetricsCollection) reads the
+        # HDF5 files directly in float32 and is unaffected.
+        self.train_cache = (
+            SequenceDeviceCache(int(device_cache_gb * 1e9))
+            if device_cache_gb > 0
+            else None
+        )
+        self.val_cache = (
+            SequenceDeviceCache(int(eval_device_cache_gb * 1e9))
+            if eval_device_cache_gb > 0
+            else None
+        )
+        self.test_cache = (
+            SequenceDeviceCache(int(eval_device_cache_gb * 1e9))
+            if eval_device_cache_gb > 0
+            else None
+        )
 
         self.stats: Optional[FieldStats] = None
         self.train_dataset: Optional[SequenceDataset] = None
@@ -172,7 +255,7 @@ class SequenceDataModule:
             seed=self.seed,
             epoch=epoch,
         )
-        return self._iterate(self.train_dataset, sampler)
+        return self._iterate(self.train_dataset, sampler, cache=self.train_cache)
 
     def n_train_batches(self) -> int:
         return len(
@@ -187,7 +270,7 @@ class SequenceDataModule:
             batch_size=self.eval_batch_size,
             samples_per_file=self.val_samples,
         )
-        return self._iterate(self.val_dataset, sampler)
+        return self._iterate(self.val_dataset, sampler, cache=self.val_cache)
 
     def test_batches(self) -> Iterator[SequenceBatch]:
         sampler = EvaluationBatches(
@@ -195,11 +278,21 @@ class SequenceDataModule:
             batch_size=self.eval_batch_size,
             samples_per_file=self.test_samples,
         )
-        return self._iterate(self.test_dataset, sampler)
+        return self._iterate(self.test_dataset, sampler, cache=self.test_cache)
 
-    def _iterate(self, dataset: SequenceDataset, sampler) -> Iterator[SequenceBatch]:
+    def _iterate(
+        self, dataset: SequenceDataset, sampler, cache: Optional[SequenceDeviceCache] = None
+    ) -> Iterator[SequenceBatch]:
         def gen():
             for idxs in sampler:
+                if cache is not None:
+                    batch = cache.batch(
+                        dataset, idxs, self.stats, self.variables,
+                        self.cell_bucket, None,
+                    )
+                    if batch is not None:
+                        yield batch
+                        continue
                 yield collate_sequence(
                     dataset[idxs], self.stats, self.variables, self.cell_bucket
                 )

@@ -173,6 +173,11 @@ class DataConfig:
     # Pays off when the host->device link is slower than the device step
     # (this container's remote tunnel: ~10 MB/s vs ~1 s steps).
     device_cache_gb: float = 0.0
+    # sequence datamodule only: ALSO keep EVAL windows device-resident
+    # (bfloat16); rollout context/targets quantize, metric ground truth does
+    # not (it reads the HDF5 files directly).  A 30-step eval window streams
+    # ~250 MB per batch on this container's 10 MB/s link without it.
+    eval_device_cache_gb: float = 0.0
     # cast streamed TRAIN batches to this dtype before the H2D transfer
     # (halves bytes on slow links); eval batches always transfer float32.
     # None = float32; implied bfloat16 when device_cache_gb > 0.

@@ -81,6 +81,8 @@ def instantiate_data_and_task(config: Config) -> Tuple[object, object]:
             prefetch_size=dc.prefetch_size,
             cell_bucket=dc.cell_bucket,
             seed=tc.seed,
+            device_cache_gb=dc.device_cache_gb,
+            eval_device_cache_gb=dc.eval_device_cache_gb,
         )
         dm.setup("fit")
         max_train_steps = max(

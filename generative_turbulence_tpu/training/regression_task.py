@@ -141,9 +141,13 @@ class RegressionTaskBase:
         return sum(int(p.size) for p in jax.tree_util.tree_leaves(state.params))
 
     def _model_input(self, cells: jnp.ndarray, grid: GridMap) -> jnp.ndarray:
-        """(B, T, n_cells, F) -> normalized dense (B, T, X, Y, Z, F)."""
+        """(B, T, n_cells, F) -> normalized dense (B, T, X, Y, Z, F).
+
+        Always float32: device-cached windows arrive as bfloat16 storage, but
+        the rollout carry, loss math and delta statistics stay f32 (the net
+        itself casts to its compute dtype internally)."""
         dense = embed_cells(cells, grid)
-        return self.normalizer.normalize(dense)
+        return self.normalizer.normalize(dense).astype(jnp.float32)
 
     # ---- rollout ---------------------------------------------------------------
 
@@ -212,7 +216,18 @@ class RegressionTaskBase:
             for v, sl in channel_slices(self.variables).items():
                 per_step = err2[..., sl].sum(axis=(-2, -1)) / n_valid  # (B, T)
                 mse[v.key] = per_step.mean(axis=0)  # (T,)
-            return loss, s_cells, mse
+            # Only the configured sample_steps leave the device: the full
+            # rollout is (B, T, N, F) — ~150 MB per eval batch, 15 s on this
+            # container's ~10 MB/s device link — while the stores keep one
+            # frame per configured step.
+            if self.sample_steps:
+                sel = jnp.asarray(
+                    [s - 1 for s in self.sample_steps], dtype=jnp.int32
+                )
+                s_out = s_cells[:, sel]  # (B, len(sample_steps), N, F)
+            else:
+                s_out = s_cells[:, :0]
+            return loss, s_out, mse
 
         return evaluate
 
@@ -225,8 +240,8 @@ class RegressionTaskBase:
         loss, sample_cells, mse = self._eval_fn(state, cells, grid)
         stores = self.val_sample_stores if phase == "val" else self.test_sample_stores
         sample_cells = np.asarray(sample_cells)
-        for s, store in stores.items():
-            store.add_samples(sample_cells[:, s - 1], batch.metadata)
+        for j, (s, store) in enumerate(stores.items()):
+            store.add_samples(sample_cells[:, j], batch.metadata)
         out = {f"{phase}/loss": float(loss)}
         for key, per_step in mse.items():
             per_step = np.asarray(per_step)

@@ -149,6 +149,98 @@ def test_training_step_accepts_resident_bf16_batches(synthetic_root, tmp_path):
     assert all(np.isfinite(l) for l in losses)
 
 
+def _collect_seq(dm_kwargs, synthetic_root, phase="train"):
+    from generative_turbulence_tpu.data.sequence import SequenceDataModule
+
+    dm = SequenceDataModule(
+        synthetic_root,
+        batch_size=2,
+        seq_len=3,
+        eval_batch_size=2,
+        eval_seq_len=4,
+        val_samples=2,
+        cell_bucket=512,
+        seed=7,
+        **dm_kwargs,
+    )
+    dm.setup("fit")
+    out = []
+    batches = dm.train_batches() if phase == "train" else dm.val_batches()
+    for b in batches:
+        out.append(
+            Snap(
+                cells=np.array(b.cells, copy=True).astype(np.float32),
+                dtype=b.cells.dtype,
+                on_device=isinstance(b.cells, jax.Array),
+                file=str(b.metadata.file),
+                t=tuple(np.asarray(b.t).reshape(-1).tolist()),
+            )
+        )
+    return dm, out
+
+
+def test_sequence_device_cache_matches_streaming(synthetic_root):
+    _, streamed = _collect_seq({}, synthetic_root)
+    dm, cached = _collect_seq({"device_cache_gb": 1.0}, synthetic_root)
+
+    assert dm.train_cache is not None and dm.train_cache.used > 0
+    assert not dm.train_cache.full
+    by_key = {_key(s): s for s in streamed}
+    assert len(cached) == len(streamed)
+    for s in cached:
+        ref = by_key[_key(s)]
+        assert s.on_device and s.dtype == jnp.bfloat16
+        assert s.cells.ndim == 4  # (B, T, nb, F)
+        assert s.cells.shape == ref.cells.shape
+        np.testing.assert_allclose(s.cells, ref.cells, rtol=1.6e-2, atol=1e-6)
+
+
+def test_sequence_eval_cache_matches_streaming(synthetic_root):
+    _, streamed = _collect_seq({}, synthetic_root, phase="val")
+    dm, cached = _collect_seq(
+        {"eval_device_cache_gb": 1.0}, synthetic_root, phase="val"
+    )
+    assert dm.val_cache is not None and dm.val_cache.used > 0
+    by_key = {_key(s): s for s in streamed}
+    assert len(cached) == len(streamed)
+    for s in cached:
+        ref = by_key[_key(s)]
+        assert s.on_device and s.dtype == jnp.bfloat16
+        assert s.cells.shape == ref.cells.shape
+        np.testing.assert_allclose(s.cells, ref.cells, rtol=1.6e-2, atol=1e-6)
+
+
+def test_tfnet_training_step_accepts_resident_windows(synthetic_root, tmp_path):
+    import jax
+    from generative_turbulence_tpu.training import parse_cli_overrides
+    from generative_turbulence_tpu.training.factory import instantiate_data_and_task
+
+    cfg = parse_cli_overrides(
+        [
+            "model=tfnet",
+            f"data.root={synthetic_root}",
+            "data.discard_first_seconds=-1",
+            "data.val_samples=2",
+            "data.eval_batch_size=2",
+            "data.device_cache_gb=0.5",
+            "model.batch_size=2",
+            "model.context_window=4",
+            "model.unroll_steps=1",
+            "model.eval_unroll_steps=2",
+            "model.temporal_filtering_length=2",
+            "model.cell_type_embedding_dim=4",
+            f"trainer.out_dir={tmp_path}/run",
+        ]
+    ).resolved()
+    dm, task = instantiate_data_and_task(cfg)
+    batches = dm.train_batches()
+    first = next(batches)
+    assert isinstance(first.cells, jax.Array) and first.cells.dtype == jnp.bfloat16
+    state = task.init_state(jax.random.PRNGKey(0), first)
+    state, metrics = task.training_step(state, first, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["train/loss"]))
+
+
 def test_eval_batches_stay_float32(synthetic_root):
     dm = DataModule(
         synthetic_root,
