@@ -2,11 +2,22 @@
 # Long 45-shape diffusion run, round-4 recipe: bf16+remat training, f32+
 # envelope-clip DDIM-50 in-run monitor (the sampler-sweep-validated eval
 # config), EMA 0.999 with warm-up, device-resident training frames.
-# LR horizon = 200 epochs x 54 steps/epoch = 10800 steps ~ 3.3 h.
+# LR horizon = 200 epochs x 54 effective steps/epoch = 10800 updates ~ 3.3 h.
+#
+# Batch geometry: micro-batch 3 x accumulate 2 = effective batch 6 (the
+# reference's shapes batch).  The proven batch-6 bf16+remat step peaks so
+# close to the 16 GB HBM ceiling that adding the ~1.1 GB of device-resident
+# bf16 training frames OOMs at step ~50 (measured in this round); halving
+# the micro-batch frees the activation headroom and keeps every train frame
+# resident.
 cd /root/repo
 mkdir -p runs/shapes-diffusion-r4
 exec python scripts/train.py model=diffusion data.root=data/shapes-mock \
-  data.device_cache_gb=4 \
+  data.device_cache_gb=2 \
+  model.batch_size=3 \
+  model.accumulate_steps=2 \
+  model.eval_batch_size=6 \
+  data.eval_batch_size=6 \
   model.compute_dtype=bfloat16 \
   model.eval_compute_dtype=float32 \
   model.ema_decay=0.999 \
