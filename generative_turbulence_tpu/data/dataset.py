@@ -411,11 +411,15 @@ class DeviceFrameCache:
     for remote-attached devices.
     """
 
-    def __init__(self, capacity_bytes: int):
+    def __init__(self, capacity_bytes: int, dtype: str = "bfloat16"):
         self.capacity = int(capacity_bytes)
+        # "bfloat16" (training: halves HBM + upload bytes) or "float32"
+        # (eval caches: metric/loss targets must not be quantized).
+        self.dtype = dtype
+        self.itemsize = 2 if dtype == "bfloat16" else 4
         self.used = 0
         self.full = False
-        self._frames: Dict[int, object] = {}  # file_idx -> (T, nb, F) bf16 device array
+        self._frames: Dict[int, object] = {}  # file_idx -> (T, nb, F) device array
         # Private grow-only host staging buffers (NOT the shared batch pool:
         # two pool.scratch calls of one dtype would alias).  A single cast
         # buffer is safe because _upload fences the transfer before returning.
@@ -443,7 +447,7 @@ class DeviceFrameCache:
             group = f["data"]
             n = int(group[variables[0].key].shape[1])
             nb = -(-n // cell_bucket) * cell_bucket if cell_bucket else n
-            nbytes = T * nb * F * 2
+            nbytes = T * nb * F * self.itemsize
             if self.used + nbytes > self.capacity:
                 self.full = True
                 return None
@@ -461,7 +465,10 @@ class DeviceFrameCache:
                 c0 += dims
             if nb > n:
                 stacked[:, n:, :] = 0.0
-        cast = self._grow("_cast", (T, nb, F), jnp.bfloat16)
+        cast = self._grow(
+            "_cast", (T, nb, F),
+            jnp.bfloat16 if self.dtype == "bfloat16" else np.float32,
+        )
         np.copyto(cast, stacked, casting="unsafe")
         try:
             # jnp.array (copy=True semantics), NOT device_put: on CPU backends
@@ -656,6 +663,17 @@ class DataModule:
         import jax
 
         return (jax.process_index(), jax.process_count())
+
+    def first_val_case(self) -> Optional[str]:
+        """Name of the case owning the globally-first val batch.
+
+        Uses the UNSHARDED case ordering, so under ``shard_eval`` exactly one
+        rank's iterator yields this case's first batch — the canonical batch
+        for cross-rank-identical diagnostics (``Trainer.validate``)."""
+        for case_idx, idxs in enumerate(self.val_dataset.sample_idxs_by_file()):
+            if len(idxs):
+                return self.val_dataset.repo.files[case_idx].parent.name
+        return None
 
     def val_batches(self) -> Iterator[Batch]:
         sampler = EvaluationBatches(

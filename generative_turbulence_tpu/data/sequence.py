@@ -200,22 +200,22 @@ class SequenceDataModule:
         self.seed = seed
         # Separate cache instances per split: the frame-index keys would
         # collide across datasets.  Training frames quantize to bfloat16 (the
-        # compute dtype); caching EVAL windows also stores the rollout
-        # CONTEXT/targets in bfloat16 — val/loss targets quantize slightly,
-        # but the metric ground truth (SampleMetricsCollection) reads the
-        # HDF5 files directly in float32 and is unaffected.
+        # compute dtype); EVAL caches stay float32 so rollout context and
+        # loss/unroll-MSE targets are bit-identical to the streaming path —
+        # metrics must not shift when the cache is toggled (2x HBM for eval
+        # windows is an acceptable price; eval residency is short-lived).
         self.train_cache = (
             SequenceDeviceCache(int(device_cache_gb * 1e9))
             if device_cache_gb > 0
             else None
         )
         self.val_cache = (
-            SequenceDeviceCache(int(eval_device_cache_gb * 1e9))
+            SequenceDeviceCache(int(eval_device_cache_gb * 1e9), dtype="float32")
             if eval_device_cache_gb > 0
             else None
         )
         self.test_cache = (
-            SequenceDeviceCache(int(eval_device_cache_gb * 1e9))
+            SequenceDeviceCache(int(eval_device_cache_gb * 1e9), dtype="float32")
             if eval_device_cache_gb > 0
             else None
         )

@@ -369,29 +369,39 @@ class SampleMetricsCollection:
         *,
         expensive_metrics: bool = True,
     ) -> Dict[str, float]:
+        # The per-case loop must NOT raise before the allgather below: in a
+        # multi-host run an unpaired collective (one rank raising on e.g. a
+        # missing data.h5 while the others reach the allgather) deadlocks the
+        # cluster.  Convert per-rank failures into an error payload that
+        # still participates in the merge, and re-raise AFTER the collective.
         per_case: Dict[str, Dict[str, float]] = {}
-        for case_name in sample_store.case_names:
-            repo = CaseRepository(
-                [self.data_dir / case_name / "data.h5"], sample_store.variables
-            )
-            samples = sample_store.load_samples(repo.read_metadata(0))
-            if samples.n_samples == 0:
-                continue
-
-            # GT frames evenly spaced over the second half of the simulation.
-            n_data = len(repo.times[0])
-            data_idx = np.round(
-                np.linspace(n_data // 2, n_data - 1, num=samples.n_samples)
-            ).astype(int)
-            data = repo.read(0, data_idx)
-
-            case_values: Dict[str, float] = {}
-            for metric in self.metrics:
-                if not expensive_metrics and metric.is_expensive():
+        error: Optional[str] = None
+        try:
+            for case_name in sample_store.case_names:
+                repo = CaseRepository(
+                    [self.data_dir / case_name / "data.h5"], sample_store.variables
+                )
+                samples = sample_store.load_samples(repo.read_metadata(0))
+                if samples.n_samples == 0:
                     continue
-                for name, value in metric(samples, data, stats).items():
-                    case_values[name] = float(value)
-            per_case[case_name] = case_values
+
+                # GT frames evenly spaced over the 2nd half of the simulation.
+                n_data = len(repo.times[0])
+                data_idx = np.round(
+                    np.linspace(n_data // 2, n_data - 1, num=samples.n_samples)
+                ).astype(int)
+                data = repo.read(0, data_idx)
+
+                case_values: Dict[str, float] = {}
+                for metric in self.metrics:
+                    if not expensive_metrics and metric.is_expensive():
+                        continue
+                    for name, value in metric(samples, data, stats).items():
+                        case_values[name] = float(value)
+                per_case[case_name] = case_values
+        except Exception as e:
+            error = f"{type(e).__name__}: {e}"
+            per_case["__error__"] = {"rank_error": 1.0}
 
         # Distributed evaluation: each rank evaluated its shard of the cases
         # (per-rank SampleStore files); merge the per-case dicts across ranks
@@ -401,9 +411,20 @@ class SampleMetricsCollection:
         from ..parallel.distributed import allgather_objects
 
         merged: Dict[str, Dict[str, float]] = {}
+        any_error = False
         for rank_cases in allgather_objects(per_case):
             for case_name, case_values in rank_cases.items():
+                if case_name == "__error__":
+                    any_error = True
+                    continue
                 merged.setdefault(case_name, case_values)
+        if error is not None:
+            raise RuntimeError(f"sample-metric computation failed: {error}")
+        if any_error:
+            raise RuntimeError(
+                "sample-metric computation failed on another rank "
+                "(collective pairing preserved; see that rank's log)"
+            )
 
         values: Dict[str, float] = {}
         metric_names = set()

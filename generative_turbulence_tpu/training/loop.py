@@ -214,11 +214,19 @@ class Trainer:
         )
         batch_in_case: Dict[str, int] = {}
         diagnostics: Dict[str, float] = {}
+        # Diagnostics run on ONE canonical batch — the first batch of the
+        # globally-first val case (unsharded ordering) — so that under
+        # shard_eval every rank ends with the SAME values (cluster-consistent
+        # early stopping) and they equal the single-process run bit-exactly.
+        # Exactly one rank owns that case; the others receive the dict via
+        # the allgather merge below.
+        has_diag = hasattr(self.task, "eval_diagnostics")
+        first_case = self.dm.first_val_case() if has_diag else None
         for batch in self.dm.val_batches():
             case = batch.metadata.case_name
             k = batch_in_case.get(case, 0)
             batch_in_case[case] = k + 1
-            if not diagnostics and hasattr(self.task, "eval_diagnostics"):
+            if has_diag and not diagnostics and case == first_case and k == 0:
                 diagnostics = self.task.eval_diagnostics(
                     state, batch, jax.random.fold_in(base, 777)
                 )
@@ -227,6 +235,15 @@ class Trainer:
             )
             if out:
                 step_outputs.append(out)
+        if has_diag and self.dm.shard_eval and jax.process_count() > 1:
+            from ..parallel.distributed import allgather_objects
+
+            # Collective: every rank calls this exactly once per validation,
+            # with an empty dict on non-owning ranks.
+            for d in allgather_objects(diagnostics):
+                if d:
+                    diagnostics = d
+                    break
         metrics = self.task.on_eval_end(self.dm.stats, "val", expensive=expensive)
         metrics.update(diagnostics)
         metrics.update(_mean_over_batches(step_outputs))

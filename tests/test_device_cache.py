@@ -205,9 +205,12 @@ def test_sequence_eval_cache_matches_streaming(synthetic_root):
     assert len(cached) == len(streamed)
     for s in cached:
         ref = by_key[_key(s)]
-        assert s.on_device and s.dtype == jnp.bfloat16
+        # Eval caches stay float32: rollout context and loss targets must be
+        # BIT-identical to the streaming path so metrics don't shift when the
+        # cache is toggled (only TRAIN caches quantize to bfloat16).
+        assert s.on_device and s.dtype == jnp.float32
         assert s.cells.shape == ref.cells.shape
-        np.testing.assert_allclose(s.cells, ref.cells, rtol=1.6e-2, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(s.cells), np.asarray(ref.cells))
 
 
 def test_tfnet_training_step_accepts_resident_windows(synthetic_root, tmp_path):
