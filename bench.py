@@ -211,6 +211,40 @@ def main(argv=None):
 
     ddpm_tput = batch / ddpm_s * 60.0
     ddim_tput = batch / ddim_s * 60.0
+
+    # Quality-adjusted throughput: the committed sampler-quality sweep
+    # (docs/runs/*sampler-sweep*.json, written by scripts/sampler-sweep.py at
+    # the best 45-case checkpoint) ranks sampler configs on val/tke against
+    # the DDPM-500 reference protocol.  Report throughput at the cheapest
+    # config whose val/tke is within 20% of DDPM-500's — the honest serving
+    # number when sample-statistics parity matters (the raw ddim50 headline
+    # above is quality-UNADJUSTED; see the sweep artifact for the gap).
+    sweep_file = Path(__file__).resolve().parent / "docs/runs/shapes-diffusion-r5/sampler-sweep.json"
+    if sweep_file.is_file():
+        try:
+            sweep = json.loads(sweep_file.read_text())
+            anchor = next(r for r in sweep if r["name"].startswith("ddpm500"))
+            ok = [
+                r for r in sweep
+                if r.get("val/tke") is not None
+                and r["val/tke"] <= 1.2 * anchor["val/tke"]
+            ]
+            pick = min(ok, key=lambda r: r["seconds"])
+            # Scale the swept config's wall-clock by this bench's measured
+            # per-UNet-eval time ratio (sweep ran its own protocol; the name
+            # encodes steps: ddpmN / ddimN).
+            n_evals = int("".join(c for c in pick["name"].split("-")[0] if c.isdigit()))
+            per_eval = (ddpm_s / timesteps) if pick["name"].startswith("ddpm") else (ddim_s / 50)
+            if "f32" in pick["name"]:
+                per_eval *= step32 / step16
+            qa_tput = batch / (per_eval * n_evals) * 60.0
+            aux["quality_adjusted_samples_per_min"] = round(qa_tput, 3)
+            aux["quality_adjusted_config"] = pick["name"]
+            aux["quality_adjusted_val_tke_vs_ddpm500"] = round(
+                pick["val/tke"] / anchor["val/tke"], 3
+            )
+        except Exception as e:
+            print(f"quality-adjusted line unavailable: {e}", file=sys.stderr)
     print(
         f"[{method}] ddpm500: {ddpm_s:.2f}s/batch{batch} = {ddpm_tput:.2f} samples/min; "
         f"ddim50: {ddim_s:.2f}s/batch{batch} = {ddim_tput:.2f} samples/min",
