@@ -56,6 +56,46 @@ def fluct_diagnostics(store_path, data_root):
     return {k: float(np.mean(v)) for k, v in out.items()}
 
 
+def expensive_pass(store, stats, data_root, k_cases=None):
+    """val/wasserstein (calibrated on-device Sinkhorn) over the first
+    ``k_cases`` val cases of the store (all when None).  Mirrors
+    SampleMetricsCollection.compute's GT protocol: samples vs frames evenly
+    spaced over the 2nd half of the simulation (reference:
+    turbdiff/models/metrics.py:483-554)."""
+    import numpy as np
+
+    from generative_turbulence_tpu.data.schema import CaseRepository
+    from generative_turbulence_tpu.eval.metrics import WassersteinMetric
+
+    metric = WassersteinMetric(solver="sinkhorn")
+    case_names = list(store.case_names)[: k_cases or None]
+    out = {}
+    for case_name in case_names:
+        tic = time.time()
+        repo = CaseRepository(
+            [Path(data_root) / "val" / case_name / "data.h5"], store.variables
+        )
+        samples = store.load_samples(repo.read_metadata(0))
+        n_data = len(repo.times[0])
+        data_idx = np.round(
+            np.linspace(n_data // 2, n_data - 1, num=samples.n_samples)
+        ).astype(int)
+        data = repo.read(0, data_idx)
+        for name, value in metric(samples, data, stats).items():
+            out[f"val/{case_name}/{name}"] = float(value)
+        print(
+            f"[expensive] {case_name}: "
+            + json.dumps({k: round(v, 4) for k, v in out.items() if case_name in k})
+            + f" ({time.time() - tic:.0f}s)",
+            file=sys.stderr,
+        )
+    w_keys = [k for k in out if k.endswith("/wasserstein")]
+    if w_keys:
+        out["val/wasserstein"] = float(np.mean([out[k] for k in w_keys]))
+        out["val/wasserstein-cases"] = float(len(w_keys))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt_dir")
@@ -65,6 +105,24 @@ def main():
         "--configs",
         default=None,
         help="JSON list of {name, overrides:[...]}; default = built-in sweep",
+    )
+    ap.add_argument(
+        "--expensive-config",
+        default=None,
+        metavar="NAME",
+        help="also compute the expensive metrics (val/wasserstein via the "
+        "calibrated on-device Sinkhorn) on this one config's sample store — "
+        "one sampling pass serves both the quality sweep and the expensive "
+        "record (reference: turbdiff/models/metrics.py:483-554)",
+    )
+    ap.add_argument(
+        "--expensive-cases",
+        type=int,
+        default=None,
+        metavar="K",
+        help="bound the expensive pass to the first K val cases (the "
+        "calibrated Sinkhorn costs ~4 min/case at shapes scale); the result "
+        "records which cases were included",
     )
     args = ap.parse_args()
 
@@ -122,6 +180,15 @@ def main():
         )
         metrics = collection.compute(store, dm.stats, expensive_metrics=False)
         metrics = {k: v for k, v in metrics.items() if k.count("/") == 1}
+        if args.expensive_config == spec["name"]:
+            # The expensive record (val/wasserstein via the calibrated
+            # on-device Sinkhorn) on THIS config's freshly sampled store —
+            # one sampling pass serves both the sweep and the record.
+            metrics.update(
+                expensive_pass(
+                    store, dm.stats, Path(config.data.root), args.expensive_cases
+                )
+            )
         metrics.update(fluct_diagnostics(store_path, config.data.root))
         rec = {
             "name": spec["name"],
