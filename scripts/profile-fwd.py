@@ -28,7 +28,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 def parse_xplane(profile_dir: Path):
     """Sum event durations by name on TPU device planes. Returns
     {plane_name: {event_name: total_ps}}."""
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:  # proto moved to tsl in newer TF wheels
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = sorted(profile_dir.rglob("*.xplane.pb"))
     if not paths:
