@@ -219,7 +219,10 @@ def main(argv=None):
     # config whose val/tke is within 20% of DDPM-500's — the honest serving
     # number when sample-statistics parity matters (the raw ddim50 headline
     # above is quality-UNADJUSTED; see the sweep artifact for the gap).
-    sweep_file = Path(__file__).resolve().parent / "docs/runs/shapes-diffusion-r5/sampler-sweep.json"
+    _docs = Path(__file__).resolve().parent / "docs/runs"
+    sweep_file = _docs / "shapes-diffusion-r5b/sampler-sweep.json"
+    if not sweep_file.is_file():
+        sweep_file = _docs / "shapes-diffusion-r5/sampler-sweep.json"
     if sweep_file.is_file():
         try:
             sweep = json.loads(sweep_file.read_text())
